@@ -1,0 +1,132 @@
+"""Text (+markers, docs) -> RbtIndex.
+
+Replaces rb_build + construct_and_serialize_rowbowt
+(/root/reference/src/rb_build.cpp, /root/reference/include/rowbowt_io.hpp:49-89):
+one pass over the suffix array produces every device table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from rowbowt_tpu.alphabet import Alphabet
+from rowbowt_tpu.construct.panel import Marker, Panel
+from rowbowt_tpu.construct.sa import suffix_array
+from rowbowt_tpu.index import RbtIndex, pack_marker
+
+
+def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    return text[(sa - 1) % text.shape[0]]
+
+
+def build_index(
+    text: np.ndarray,
+    markers: Sequence[Marker] | None = None,
+    doc_starts: np.ndarray | None = None,
+    doc_names: list[str] | None = None,
+    ma_wsize: int = 10,
+    with_sa_samples: bool = True,
+    ftab_k: int = 0,
+    sa: np.ndarray | None = None,
+) -> RbtIndex:
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    n = int(text.shape[0])
+    if sa is None:
+        sa = suffix_array(text)
+    bwt = bwt_from_sa(text, sa)
+
+    alpha = Alphabet.from_text(text)
+    codes = alpha.encode(bwt).astype(np.int64)  # all >= 0 by construction
+    A = alpha.size
+
+    # runs
+    change = np.flatnonzero(np.diff(codes) != 0) + 1
+    run_start = np.concatenate(([0], change)).astype(np.int64)
+    R = run_start.shape[0]
+    run_head = codes[run_start].astype(np.uint8)
+    run_len = np.diff(np.append(run_start, n))
+
+    # occ[A, R]: exclusive cumulative count of each code before each run start
+    occ = np.zeros((A, R), dtype=np.int64)
+    contrib = np.zeros((A, R), dtype=np.int64)
+    contrib[run_head, np.arange(R)] = run_len
+    occ[:, 1:] = np.cumsum(contrib, axis=1)[:, :-1]
+
+    # F
+    counts = np.zeros(A + 1, dtype=np.int64)
+    counts[1:] = np.bincount(alpha.encode(text).astype(np.int64), minlength=A)
+    F = np.cumsum(counts)
+
+    # per-char run lists (ascending run id within each char)
+    order = np.argsort(run_head, kind="stable")
+    cruns_flat = order.astype(np.int64)
+    cruns_off = np.zeros(A + 1, dtype=np.int64)
+    cruns_off[1:] = np.cumsum(np.bincount(run_head.astype(np.int64), minlength=A))
+
+    samples_last = pred_pos = pred_to_run = None
+    if with_sa_samples:
+        run_end = np.append(run_start[1:], n) - 1
+        # text position of the BWT char of that row: (SA[i]+n-1) % n — the same
+        # value the reference stores (y-1 with 0 -> n-1, toehold_sa.hpp:133-155)
+        samples_last = (sa[run_end] + n - 1) % n
+        sfirst = (sa[run_start] + n - 1) % n
+        srt = np.argsort(sfirst)
+        pred_pos = sfirst[srt]
+        pred_to_run = srt.astype(np.int64)
+
+    ma_row = ma_val = None
+    if markers:
+        # row i carries marker m iff SA[i] in (t-w, t] where t = marker text pos
+        # (i.e. the variant lies within the first w characters of the suffix).
+        isa = np.empty(n, dtype=np.int64)
+        isa[sa] = np.arange(n, dtype=np.int64)
+        rows_list = []
+        vals_list = []
+        for m in markers:
+            lo = max(0, m.text_pos - ma_wsize + 1)
+            ps = np.arange(lo, m.text_pos + 1, dtype=np.int64)
+            rows_list.append(isa[ps])
+            vals_list.append(np.full(ps.shape[0], pack_marker(m.seq, m.pos, m.allele), dtype=np.int64))
+        ma_row = np.concatenate(rows_list)
+        ma_val = np.concatenate(vals_list)
+        srt = np.lexsort((ma_val, ma_row))
+        ma_row = ma_row[srt]
+        ma_val = ma_val[srt]
+
+    idx = RbtIndex(
+        n=n,
+        alpha=alpha,
+        run_start=run_start,
+        run_head=run_head,
+        occ=occ,
+        F=F,
+        cruns_flat=cruns_flat,
+        cruns_off=cruns_off,
+        samples_last=samples_last,
+        pred_pos=pred_pos,
+        pred_to_run=pred_to_run,
+        ma_row=ma_row,
+        ma_val=ma_val,
+        ma_wsize=ma_wsize,
+        doc_starts=doc_starts.astype(np.int64) if doc_starts is not None else None,
+        doc_names=doc_names,
+    )
+    if ftab_k:
+        from rowbowt_tpu.engine.naive import build_ftab_dense
+
+        idx.ftab = build_ftab_dense(idx, ftab_k)
+        idx.ftab_k = ftab_k
+    return idx
+
+
+def build_index_from_panel(panel: Panel, **kw) -> RbtIndex:
+    return build_index(
+        panel.text,
+        markers=panel.markers,
+        doc_starts=panel.doc_starts,
+        doc_names=panel.doc_names,
+        ma_wsize=panel.wsize,
+        **kw,
+    )
