@@ -9,6 +9,13 @@ backward search in lockstep inside jit'd lax loops.
 See DESIGN.md for the architecture and SURVEY.md for the reference analysis.
 """
 
+import jax as _jax
+
+# Packed 64-bit markers (seq:15|pos:40|allele:8) and >2^31 text positions need
+# real int64 on device; all hot-path arrays are explicitly int32 when the index
+# fits, so this costs nothing there.
+_jax.config.update("jax_enable_x64", True)
+
 from rowbowt_tpu.alphabet import Alphabet, TERM_BYTE, SEP_BYTE
 from rowbowt_tpu.index import RbtIndex
 

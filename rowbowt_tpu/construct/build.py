@@ -65,7 +65,7 @@ def build_index(
     cruns_off = np.zeros(A + 1, dtype=np.int64)
     cruns_off[1:] = np.cumsum(np.bincount(run_head.astype(np.int64), minlength=A))
 
-    samples_last = pred_pos = pred_to_run = None
+    samples_last = pred_pos = pred_to_run = ltk = None
     if with_sa_samples:
         run_end = np.append(run_start[1:], n) - 1
         # text position of the BWT char of that row: (SA[i]+n-1) % n — the same
@@ -75,6 +75,14 @@ def build_index(
         srt = np.argsort(sfirst)
         pred_pos = sfirst[srt]
         pred_to_run = srt.astype(np.int64)
+        # ltk[c, r]: samples_last of the last c-run at or before run r — the
+        # single-gather toehold table used by the batched LF_w_loc kernel.
+        ltk = np.zeros((A, R), dtype=np.int64)
+        rids = np.arange(R, dtype=np.int64)
+        for c in range(A):
+            marked = np.where(run_head == c, rids, -1)
+            last = np.maximum.accumulate(marked)
+            ltk[c] = np.where(last >= 0, samples_last[np.maximum(last, 0)], 0)
 
     ma_row = ma_val = None
     if markers:
@@ -107,6 +115,7 @@ def build_index(
         samples_last=samples_last,
         pred_pos=pred_pos,
         pred_to_run=pred_to_run,
+        ltk=ltk,
         ma_row=ma_row,
         ma_val=ma_val,
         ma_wsize=ma_wsize,

@@ -1,0 +1,73 @@
+"""DeviceIndex: the jax-resident view of an RbtIndex.
+
+A registered pytree whose leaves are the flat sorted tables (DESIGN.md) so it
+can be passed straight through jit / shard_map and sharded with NamedSharding.
+Static metadata (sizes, dtypes, ftab k, window size) rides in the aux data so
+recompilation only happens when the index *shape* changes, not its contents.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rowbowt_tpu.index import RbtIndex
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceIndex:
+    arrays: dict[str, Any]
+    n: int
+    R: int
+    A: int
+    ma_wsize: int
+    ftab_k: int
+    acgt_codes: tuple  # index codes of A,C,G,T (or None entries when absent)
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.arrays))
+        leaves = tuple(self.arrays[k] for k in keys)
+        aux = (keys, self.n, self.R, self.A, self.ma_wsize, self.ftab_k, self.acgt_codes)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        keys, n, R, A, ma_wsize, ftab_k, acgt = aux
+        return cls(dict(zip(keys, leaves)), n, R, A, ma_wsize, ftab_k, acgt)
+
+    @property
+    def idx_dtype(self):
+        return self.arrays["run_start"].dtype
+
+    @property
+    def has_sa(self) -> bool:
+        return "samples_last" in self.arrays
+
+    @property
+    def has_ma(self) -> bool:
+        return "ma_row" in self.arrays
+
+    @property
+    def has_ftab(self) -> bool:
+        return "ftab" in self.arrays
+
+    @staticmethod
+    def from_index(idx: RbtIndex, device=None) -> "DeviceIndex":
+        arrs = {k: jnp.asarray(v) for k, v in idx.device_arrays().items()}
+        if device is not None:
+            arrs = {k: jax.device_put(v, device) for k, v in arrs.items()}
+        acgt_np = idx.alpha.encode(np.frombuffer(b"ACGT", dtype=np.uint8))
+        return DeviceIndex(
+            arrays=arrs,
+            n=idx.n,
+            R=idx.R,
+            A=idx.A,
+            ma_wsize=idx.ma_wsize,
+            ftab_k=idx.ftab_k,
+            acgt_codes=tuple(int(c) for c in acgt_np),
+        )

@@ -1,0 +1,116 @@
+"""Batched marker-window queries.
+
+find_ranges_w_markers == RowBowt::find_range_w_markers (rowbowt.hpp:292-339)
+in lockstep: the per-read window bookkeeping (window_ei, the max_range gate and
+the final (m-1)%wsize re-query quirk) becomes mask arithmetic inside the LF
+loop.  Markers fill a fixed [B, K] buffer from the RIGHT so that reading the
+filled tail left-to-right reproduces the reference's front-insertion order
+(newest window first, CSR row order within a window).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rowbowt_tpu.engine.device import DeviceIndex
+from rowbowt_tpu.ops import rank as R
+
+
+def _append_right(buf, used, vals, cnt):
+    """Place vals[:, :cnt] immediately left of the already-used tail of buf.
+
+    buf [B, K] (int64, -1 = empty), used [B], vals [B, W], cnt [B].
+    New chunk occupies slots [K-used-cnt, K-used).  Overflow clips the oldest
+    (rightmost) entries are kept -- the newest chunk always fits first.
+    """
+    B, K = buf.shape
+    slots = jnp.arange(K, dtype=used.dtype)[None, :]
+    start = K - used[:, None] - cnt[:, None]
+    src = slots - start  # index into vals for each buffer slot
+    take = (src >= 0) & (src < cnt[:, None]) & (slots < (K - used[:, None]))
+    W = vals.shape[1]
+    gathered = jnp.take_along_axis(vals, jnp.clip(src, 0, W - 1), axis=1)
+    buf = jnp.where(take, gathered, buf)
+    used = jnp.minimum(used + cnt, K)
+    return buf, used
+
+
+@partial(jax.jit, static_argnames=("wsize", "max_range", "max_k"))
+def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
+                          max_range: int = 1 << 62, max_k: int = 32):
+    """Returns (lo, hi, markers [B, max_k] int64 left-packed to the RIGHT,
+    used [B], overflow [B]).
+
+    Read the markers of lane b as markers[b, max_k-used[b]:] — that sequence
+    equals the reference's lf.markers vector order.  Lanes shorter than wsize
+    return empty (reference warns and bails, rowbowt.hpp:299-302).
+    """
+    B, L = qcodes.shape
+    dt = dx.idx_dtype
+    lengths = lengths.astype(dt)
+    # the reference passes (uint64)-1 for "unbounded" — clamp into our dtype
+    max_range = min(int(max_range), int(jnp.iinfo(dt).max))
+    max_range = jnp.asarray(max_range, dtype=dt)
+    m = lengths
+    lo = jnp.zeros(B, dtype=dt)
+    hi = jnp.full(B, dx.n - 1, dtype=dt)
+    too_short = m < wsize
+    done = too_short
+    window_ei = m
+    buf = jnp.full((B, max_k), -1, dtype=jnp.int64)
+    used = jnp.zeros(B, dtype=dt)
+    total = jnp.zeros(B, dtype=dt)
+
+    def probe(lo, hi, gate, buf, used, total):
+        small = (hi - lo + 1) <= max_range
+        do = gate & small
+        vals, cnt = R.markers_at_range(dx, jnp.where(do, lo, 1), jnp.where(do, hi, 0), max_k)
+        cnt = jnp.where(do, cnt, 0).astype(dt)
+        buf, used = _append_right(buf, used, vals, jnp.minimum(cnt, max_k))
+        total = total + cnt
+        return buf, used, total
+
+    def body(j, st):
+        lo, hi, done, window_ei, buf, used, total = st
+        c = qcodes[:, L - 1 - j].astype(dt)
+        active = (~done) & (j < m)
+        nlo, nhi = R.lf_step(dx, lo, hi, c)
+        empty = nlo > nhi
+        # a failed full-read search clears collected markers (rowbowt.hpp:311-313)
+        fail = active & empty
+        buf = jnp.where(fail[:, None], -1, buf)
+        used = jnp.where(fail, 0, used)
+        total = jnp.where(fail, 0, total)
+        lo = jnp.where(active, nlo, lo)
+        hi = jnp.where(active, nhi, hi)
+        done = done | fail
+        # window trigger (rowbowt.hpp:314-324): i == j for lanes with m == ...
+        ok = active & ~empty
+        trigger = ok & (window_ei - (m - j) >= wsize)
+        buf, used, total = probe(lo, hi, trigger, buf, used, total)
+        window_ei = jnp.where(trigger, m - j, window_ei)
+        return lo, hi, done, window_ei, buf, used, total
+
+    lo, hi, done, window_ei, buf, used, total = jax.lax.fori_loop(
+        0, L, body, (lo, hi, done, window_ei, buf, used, total)
+    )
+    # final re-query quirk (rowbowt.hpp:328-335)
+    final = (~done) & (~too_short) & (hi >= lo) & ((m - 1) % wsize != 0)
+    buf, used, total = probe(lo, hi, final, buf, used, total)
+    # failed searches report the empty range
+    one = jnp.ones((), dtype=dt)
+    zero = jnp.zeros((), dtype=dt)
+    lo = jnp.where(done | too_short, one, lo)
+    hi = jnp.where(done | too_short, zero, hi)
+    return lo, hi, buf, used, total > used
+
+
+@partial(jax.jit, static_argnames=("max_k",))
+def markers_for_ranges(dx: DeviceIndex, lo, hi, max_k: int = 64):
+    """Single-probe markers for final ranges — the rb_align -m path
+    (rb_align.cpp:138: one markers_at(range) call, CSR row order)."""
+    vals, cnt = R.markers_at_range(dx, lo, hi, max_k)
+    return vals, cnt

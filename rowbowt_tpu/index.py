@@ -60,6 +60,7 @@ class RbtIndex:
     samples_last: np.ndarray | None  # int[R]: (SA[last row of run]+n-1)%n, run order
     pred_pos: np.ndarray | None  # int[R]: sorted first-row sample text positions
     pred_to_run: np.ndarray | None  # int[R]: run id of each pred_pos entry
+    ltk: np.ndarray | None  # int[A, R]: samples_last of last c-run at or before r
 
     # --- marker array CSR (replaces pfbwt-f MarkerArray) ---
     ma_row: np.ndarray | None  # int[M]: BWT row per marker entry, sorted
@@ -103,8 +104,8 @@ class RbtIndex:
             "cruns_flat": self.cruns_flat,
             "cruns_off": self.cruns_off,
         }
-        for name in ("samples_last", "pred_pos", "pred_to_run", "ma_row", "ma_val",
-                     "doc_starts", "ftab"):
+        for name in ("samples_last", "pred_pos", "pred_to_run", "ltk", "ma_row",
+                     "ma_val", "doc_starts", "ftab"):
             v = getattr(self, name)
             if v is not None:
                 arrs[name] = v
@@ -143,6 +144,7 @@ class RbtIndex:
             samples_last=get("samples_last", with_sa),
             pred_pos=get("pred_pos", with_sa),
             pred_to_run=get("pred_to_run", with_sa),
+            ltk=get("ltk", with_sa),
             ma_row=get("ma_row", with_ma),
             ma_val=get("ma_val", with_ma),
             ma_wsize=int(meta.get("ma_wsize", 10)),
@@ -171,6 +173,8 @@ class RbtIndex:
             d["samples_last"] = self.samples_last.astype(dt)
             d["pred_pos"] = self.pred_pos.astype(dt)
             d["pred_to_run"] = self.pred_to_run.astype(dt)
+            if self.ltk is not None:
+                d["ltk"] = self.ltk.astype(dt).reshape(-1)
         if self.ma_row is not None:
             d["ma_row"] = self.ma_row.astype(dt)
             d["ma_val"] = self.ma_val.astype(np.int64)

@@ -1,0 +1,163 @@
+"""Batched rank / LF primitives over the device tables.
+
+Every reference hot op (SURVEY.md §3 hot-loop summary) is expressed here as
+searchsorted + a constant number of gathers, vectorized over a batch of lanes:
+
+  rle_string::rank   (rle_string.hpp:131-161) -> rank():       1 searchsorted + 2 gathers
+  RowBowt::LF        (rowbowt.hpp:74-88)      -> lf_step():    2 ranks
+  RowBowt::LF_w_loc  (rowbowt.hpp:553-573)    -> lf_step_w_loc(): LF + 1 gather
+                                                 (dense last-c-run toehold table)
+  ToeholdSA::phi     (toehold_sa.hpp:56-72)   -> phi_step():   1 searchsorted + 2 gathers
+
+All functions take a DeviceIndex `dx` and int vectors; char code < 0 means
+"absent from alphabet" and produces the empty range (1,0), matching the
+reference's behavior for chars with no runs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rowbowt_tpu.engine.device import DeviceIndex
+
+
+def _ss(a, v, side):
+    return jnp.searchsorted(a, v, side=side).astype(v.dtype)
+
+
+def run_of(dx: DeviceIndex, i):
+    """Run id containing BWT position i (i in [0, n-1])."""
+    return _ss(dx.arrays["run_start"], i, "right") - 1
+
+
+def rank_at_run(dx: DeviceIndex, i, c, r):
+    """rank(i, c) given r = run_of(clamp(i, n-1)) precomputed.  i in [0, n]."""
+    arr = dx.arrays
+    R = dx.R
+    csafe = jnp.maximum(c, 0)
+    occ = arr["occ_flat"][csafe * R + r]
+    head = arr["run_head"][r]
+    v = occ + jnp.where(head == c, i - arr["run_start"][r], 0)
+    total = arr["F"][csafe + 1] - arr["F"][csafe]
+    v = jnp.where(i >= dx.n, total, v)
+    return jnp.where(c < 0, 0, v)
+
+
+def rank(dx: DeviceIndex, i, c):
+    """Number of code-c chars in BWT[0:i), batched."""
+    r = run_of(dx, jnp.minimum(i, dx.n - 1))
+    return rank_at_run(dx, i, c, r)
+
+
+def lf_step(dx: DeviceIndex, lo, hi, c):
+    """Batched RowBowt::LF(range, c): (lo', hi') with empty ranges as (1, 0)."""
+    arr = dx.arrays
+    csafe = jnp.maximum(c, 0)
+    c_before = rank(dx, lo, c)
+    c_inside = rank(dx, hi + 1, c) - c_before
+    nlo = arr["F"][csafe] + c_before
+    nhi = nlo + c_inside - 1
+    empty = (c_inside <= 0) | (c < 0)
+    one = jnp.ones((), dtype=nlo.dtype)
+    zero = jnp.zeros((), dtype=nlo.dtype)
+    return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
+
+
+def lf_step_w_loc(dx: DeviceIndex, lo, hi, c, k):
+    """Batched RowBowt::LF_w_loc: LF + toehold maintenance.
+
+    Requires the dense `ltk` table: ltk[c*R + r] = samples_last of the last
+    c-run at or before run r (built by construct.build when SA samples are on).
+    """
+    arr = dx.arrays
+    R = dx.R
+    csafe = jnp.maximum(c, 0)
+
+    r_hi1 = run_of(dx, jnp.minimum(hi + 1, dx.n - 1))
+    # run containing hi itself (hi+1 may start a new run)
+    r_hi = r_hi1 - jnp.where(
+        (hi + 1 < dx.n) & (arr["run_start"][r_hi1] == hi + 1), 1, 0
+    )
+    c_before = rank(dx, lo, c)
+    c_at_hi1 = rank_at_run(dx, hi + 1, c, jnp.where(hi + 1 >= dx.n, r_hi, r_hi1))
+    c_inside = c_at_hi1 - c_before
+    nlo = arr["F"][csafe] + c_before
+    nhi = nlo + c_inside - 1
+    empty = (c_inside <= 0) | (c < 0)
+
+    trivial = arr["run_head"][r_hi] == c
+    nk = jnp.where(
+        trivial,
+        jnp.where(k == 0, dx.n - 1, k - 1),
+        arr["ltk"][csafe * R + r_hi],
+    )
+    one = jnp.ones((), dtype=nlo.dtype)
+    zero = jnp.zeros((), dtype=nlo.dtype)
+    return (
+        jnp.where(empty, one, nlo),
+        jnp.where(empty, zero, nhi),
+        jnp.where(empty, zero, nk),
+    )
+
+
+def phi_step(dx: DeviceIndex, i):
+    """Batched ToeholdSA::phi (toehold_sa.hpp:56-72)."""
+    arr = dx.arrays
+    rk = _ss(arr["pred_pos"], i, "left")  # number of pred values < i
+    jr = jnp.where(rk == 0, dx.R - 1, rk - 1)
+    j = arr["pred_pos"][jr]
+    delta = jnp.where(j < i, i - j, i + 1)
+    prev_sample = arr["samples_last"][arr["pred_to_run"][jr] - 1]
+    return (prev_sample + delta) % dx.n
+
+
+def markers_at_range(dx: DeviceIndex, lo, hi, max_k: int):
+    """Batched MarkerArray::at_range: up to max_k packed markers per lane.
+
+    Returns (vals [B, max_k] int64, count [B]).  Lanes with empty/invalid
+    ranges return count 0.  count may exceed max_k (caller sees truncation).
+    """
+    arr = dx.arrays
+    s = _ss(arr["ma_row"], lo, "left")
+    e = _ss(arr["ma_row"], hi + 1, "left")
+    cnt = jnp.maximum(e - s, 0)
+    offs = jnp.arange(max_k, dtype=s.dtype)[None, :]
+    pos = jnp.minimum(s[:, None] + offs, arr["ma_row"].shape[0] - 1)
+    vals = arr["ma_val"][pos]
+    valid = offs < cnt[:, None]
+    vals = jnp.where(valid, vals, -1)
+    return vals, cnt
+
+
+def doc_of(dx: DeviceIndex, i):
+    """Batched DocList lookup: doc id containing text position i."""
+    return _ss(dx.arrays["doc_starts"], i, "right") - 1
+
+
+def kmer_codes(dx: DeviceIndex, codes):
+    """Big-endian 2-bit encode of [B, k] index codes; -1 where any char isn't ACGT."""
+    a, c, g, t = dx.acgt_codes
+    base = jnp.full(codes.shape, -1, dtype=jnp.int32)
+    for b, cc in enumerate((a, c, g, t)):
+        base = jnp.where(codes == cc, b, base)
+    valid = jnp.all(base >= 0, axis=-1)
+    k = codes.shape[-1]
+    weights = (4 ** jnp.arange(k - 1, -1, -1, dtype=jnp.int32))
+    v = jnp.sum(base * weights, axis=-1)
+    return jnp.where(valid, v, -1)
+
+
+def ftab_lookup(dx: DeviceIndex, kcodes):
+    """search_ftab: (lo, hi, hit) — misses return the full range with hit=False."""
+    arr = dx.arrays
+    ft = arr["ftab"]
+    safe = jnp.maximum(kcodes, 0)
+    lo = ft[safe, 0]
+    hi = ft[safe, 1]
+    hit = (kcodes >= 0) & (lo >= 0)
+    zero = jnp.zeros((), dtype=lo.dtype)
+    return (
+        jnp.where(hit, lo, zero),
+        jnp.where(hit, hi, zero + dx.n - 1),
+        hit,
+    )
