@@ -1,0 +1,142 @@
+// SA-IS suffix array construction (Nong, Zhang & Chan, "Two Efficient
+// Algorithms for Linear Time Suffix Array Construction", 2009) — our own
+// implementation for the host construction toolchain, replacing the role of
+// the reference's out-of-repo pfbwt-f builder (/root/reference/.gitmodules:7-9).
+//
+// Convention: the input text is mapped to values in [1, K); a unique sentinel 0
+// is appended internally at each recursion level.  O(n) time, O(n) extra space.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using i64 = int64_t;
+
+// T: values in [0, K), with T[n-1] == 0 the unique smallest sentinel.
+// SA: output, size n.
+void sais_rec(const i64* T, i64* SA, i64 n, i64 K) {
+  if (n == 1) {
+    SA[0] = 0;
+    return;
+  }
+  std::vector<bool> stype(n);
+  stype[n - 1] = true;
+  for (i64 i = n - 2; i >= 0; --i)
+    stype[i] = T[i] < T[i + 1] || (T[i] == T[i + 1] && stype[i + 1]);
+
+  auto is_lms = [&](i64 i) { return i > 0 && stype[i] && !stype[i - 1]; };
+
+  std::vector<i64> C(K), B(K);
+  for (i64 i = 0; i < n; ++i) C[T[i]]++;
+  auto bkt_heads = [&] {
+    i64 sum = 0;
+    for (i64 k = 0; k < K; ++k) { B[k] = sum; sum += C[k]; }
+  };
+  auto bkt_tails = [&] {
+    i64 sum = 0;
+    for (i64 k = 0; k < K; ++k) { sum += C[k]; B[k] = sum; }
+  };
+
+  auto induce = [&](const std::vector<i64>& lms_ordered) {
+    std::fill(SA, SA + n, -1);
+    // place LMS suffixes at bucket tails, in the given order reversed
+    bkt_tails();
+    for (i64 t = (i64)lms_ordered.size() - 1; t >= 0; --t) {
+      i64 p = lms_ordered[t];
+      SA[--B[T[p]]] = p;
+    }
+    // induce L-type left to right
+    bkt_heads();
+    for (i64 i = 0; i < n; ++i) {
+      i64 j = SA[i] - 1;
+      if (j >= 0 && !stype[j]) SA[B[T[j]]++] = j;
+    }
+    // induce S-type right to left
+    bkt_tails();
+    for (i64 i = n - 1; i >= 0; --i) {
+      i64 j = SA[i] - 1;
+      if (j >= 0 && stype[j]) SA[--B[T[j]]] = j;
+    }
+  };
+
+  // pass 1: LMS positions in text order
+  std::vector<i64> lms;
+  lms.reserve(n / 2 + 1);
+  for (i64 i = 1; i < n; ++i)
+    if (is_lms(i)) lms.push_back(i);
+  induce(lms);
+
+  // collect LMS suffixes in their induced (sorted-by-LMS-substring) order
+  std::vector<i64> lms_sorted;
+  lms_sorted.reserve(lms.size());
+  for (i64 i = 0; i < n; ++i)
+    if (is_lms(SA[i])) lms_sorted.push_back(SA[i]);
+
+  // name LMS substrings
+  i64 m = (i64)lms.size();
+  std::vector<i64> name_of(n, -1);
+  i64 names = 0;
+  i64 prev = -1;
+  for (i64 t = 0; t < m; ++t) {
+    i64 p = lms_sorted[t];
+    bool differ = (prev < 0);
+    if (!differ) {
+      // compare LMS substrings at prev and p (up to and including next LMS char)
+      for (i64 d = 0;; ++d) {
+        bool end_p = d > 0 && is_lms(p + d);
+        bool end_q = d > 0 && is_lms(prev + d);
+        if (p + d >= n || prev + d >= n || T[p + d] != T[prev + d] ||
+            stype[p + d] != stype[prev + d]) {
+          differ = true;
+          break;
+        }
+        if (end_p || end_q) {
+          differ = !(end_p && end_q);
+          break;
+        }
+      }
+    }
+    if (differ) { ++names; prev = p; }
+    name_of[p] = names - 1;
+  }
+
+  // order LMS suffixes
+  std::vector<i64> lms_final;
+  if (names < m) {
+    // recurse on the reduced string (in text order of LMS positions)
+    std::vector<i64> T1(m), SA1(m);
+    for (i64 t = 0; t < m; ++t) T1[t] = name_of[lms[t]] + 1;
+    // append sentinel: the LAST LMS position is the sentinel suffix (T[n-1]=0),
+    // whose name is the unique smallest already; make it explicit:
+    T1[m - 1] = 0;  // the sentinel LMS (position n-1) is always last in text order
+    sais_rec(T1.data(), SA1.data(), m, names + 1);
+    lms_final.resize(m);
+    for (i64 t = 0; t < m; ++t) lms_final[t] = lms[SA1[t]];
+  } else {
+    lms_final = std::move(lms_sorted);
+  }
+
+  induce(lms_final);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of a uint8 text (no sentinel required in the input; one is
+// added internally, its SA entry dropped).  Returns 0 on success.
+int rbt_sais_u8(const uint8_t* t, i64* sa_out, i64 n) {
+  if (n <= 0) return 0;
+  std::vector<i64> T(n + 1);
+  for (i64 i = 0; i < n; ++i) T[i] = (i64)t[i] + 1;
+  T[n] = 0;
+  std::vector<i64> SA(n + 1);
+  sais_rec(T.data(), SA.data(), n + 1, 258);
+  // SA[0] is the sentinel suffix
+  std::memcpy(sa_out, SA.data() + 1, sizeof(i64) * n);
+  return 0;
+}
+}

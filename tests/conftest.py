@@ -3,10 +3,16 @@ so multi-chip sharding paths are testable without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# this image's sitecustomize force-registers the 'axon' TPU platform ahead of
+# the env var; override it so tests always run on the 8-device virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

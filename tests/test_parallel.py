@@ -1,0 +1,63 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel reads with a
+replicated index, and the R-sharded index with per-step psum."""
+
+import jax
+import numpy as np
+
+from rowbowt_tpu.engine.batch import encode_batch
+from rowbowt_tpu.engine.count import find_ranges
+from rowbowt_tpu.engine.device import DeviceIndex
+from rowbowt_tpu.engine import naive
+from rowbowt_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate_index, shard_queries
+from rowbowt_tpu.parallel.sharded import ShardedIndex, find_ranges_sharded
+
+from test_golden_tiny import SIMPLE_READS
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_replicated(tiny_index):
+    mesh = make_mesh(n_dp=8)
+    dx = replicate_index(mesh, DeviceIndex.from_index(tiny_index))
+    qc, lens = encode_batch(tiny_index, SIMPLE_READS)
+    qc, lens, B = pad_batch_to(qc, lens, 8)
+    qc, lens = shard_queries(mesh, qc, lens)
+    lo, hi = find_ranges(dx, qc, lens)
+    lo, hi = np.asarray(lo)[:B], np.asarray(hi)[:B]
+    want = [(24279, 24280), (24175, 24175), (27430, 27432),
+            (27430, 27432), (17409, 17409), (17416, 17417)]
+    assert [(int(a), int(b)) for a, b in zip(lo, hi)] == want
+
+
+def test_sharded_index_golden(tiny_index):
+    mesh = make_mesh(n_dp=2, n_idx=4)
+    sidx = ShardedIndex.build(tiny_index, n_idx=4)
+    tables = sidx.device_put(mesh)
+    qc, lens = encode_batch(tiny_index, SIMPLE_READS)
+    qc, lens, B = pad_batch_to(qc, lens, 2)
+    lo, hi = find_ranges_sharded(mesh, sidx, tables, qc, lens)
+    lo, hi = np.asarray(lo)[:B], np.asarray(hi)[:B]
+    want = [(24279, 24280), (24175, 24175), (27430, 27432),
+            (27430, 27432), (17409, 17409), (17416, 17417)]
+    assert [(int(a), int(b)) for a, b in zip(lo, hi)] == want
+
+
+def test_sharded_matches_naive(rand_index):
+    idx, text = rand_index
+    rng = np.random.default_rng(5)
+    reads = []
+    for _ in range(16):
+        L = int(rng.integers(4, 30))
+        p = int(rng.integers(0, len(text) - L))
+        reads.append(bytes(text[p:p + L]))
+    mesh = make_mesh(n_dp=4, n_idx=2)
+    sidx = ShardedIndex.build(idx, n_idx=2)
+    tables = sidx.device_put(mesh)
+    qc, lens = encode_batch(idx, reads)
+    lo, hi = find_ranges_sharded(mesh, sidx, tables, qc, lens)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    for b, r in enumerate(reads):
+        codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+        assert (lo[b], hi[b]) == naive.find_range(idx, codes), (b, r)
