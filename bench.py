@@ -24,7 +24,7 @@ N_HAPS = 7
 N_VARS = 3_000
 N_READS = 100_000
 READ_LEN = 100
-BATCH = 8192
+BATCH = 32768
 
 
 def _ensure_native():
@@ -173,9 +173,11 @@ def main():
         from rowbowt_tpu.cpu_backend import count_ranges
 
         ncpu = 4096
-        t0 = time.perf_counter()
-        clo, chi = count_ranges(idx, qcodes[:ncpu], lengths[:ncpu])
-        cdt = time.perf_counter() - t0
+        cdt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            clo, chi = count_ranges(idx, qcodes[:ncpu], lengths[:ncpu])
+            cdt = min(cdt, time.perf_counter() - t0)
         cpu_rps = ncpu / cdt
         print(f"cpu-1t: {ncpu:,} reads in {cdt:.3f}s -> {cpu_rps:,.0f} reads/s",
               file=sys.stderr)
@@ -196,5 +198,35 @@ def main():
     os._exit(0)
 
 
+def _parent():
+    """The TPU tunnel hangs on claim/compile in a sizeable fraction of fresh
+    processes; a new process usually succeeds.  Retry the measurement in a
+    subprocess with a hard timeout until a JSON line appears."""
+    env = dict(os.environ, RBT_BENCH_WORKER="1")
+    for attempt in range(4):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, timeout=180, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired as e:
+            print(f"bench attempt {attempt}: timeout; retrying", file=sys.stderr)
+            if e.stderr:
+                sys.stderr.write(e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr)
+            continue
+        sys.stderr.write(p.stderr)
+        line = next((l for l in p.stdout.splitlines() if l.startswith("{")), None)
+        if line:
+            print(line)
+            return 0
+        print(f"bench attempt {attempt}: no result (exit {p.returncode}); retrying",
+              file=sys.stderr)
+    print("bench: all attempts failed", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("RBT_BENCH_WORKER") == "1":
+        main()
+    else:
+        sys.exit(_parent())

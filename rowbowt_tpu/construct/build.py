@@ -21,6 +21,48 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return text[(sa - 1) % text.shape[0]]
 
 
+DENSE_BLOCK = 128  # symbols per occ checkpoint block (16 uint32 words, 64B)
+
+# full positional occ (occ1): one gather per rank, 4(n+1)A bytes — the fastest
+# LF path on hardware whose gather cost is per-element (see DESIGN.md); built
+# by default for indexes below this size, block tables cover the rest
+OCC1_MAX_N = 128_000_000
+
+
+def build_occ1(codes: np.ndarray, A: int) -> np.ndarray:
+    """occ1[c, i] = count of c in BWT[0:i), i in [0, n] inclusive (no edge case)."""
+    n = codes.shape[0]
+    occ1 = np.zeros((A, n + 1), dtype=np.int32 if n < (1 << 31) else np.int64)
+    for c in range(A):
+        np.cumsum(codes == c, out=occ1[c, 1:])
+    return occ1
+
+
+def build_dense_tables(codes: np.ndarray, A: int):
+    """4-bit packed BWT + per-block occ checkpoints (the TPU fast path: one
+    contiguous 64B block load + one checkpoint gather per rank, replacing the
+    20-level binary search over run starts).  codes: int64[n] in [0, A<=16)."""
+    assert A <= 16
+    n = codes.shape[0]
+    nb = (n + DENSE_BLOCK - 1) // DENSE_BLOCK
+    padded = np.zeros(nb * DENSE_BLOCK, dtype=np.uint32)
+    padded[:n] = codes.astype(np.uint32)
+    # pack 8 symbols per uint32, symbol j at bits [4j, 4j+4)
+    grp = padded.reshape(-1, 8)
+    shifts = (np.arange(8, dtype=np.uint32) * 4)[None, :]
+    bwt4 = (grp << shifts).astype(np.uint32).sum(axis=1, dtype=np.uint32)
+    # occ checkpoints: occ_blk[c, b] = count of c in codes[0 : b*BLOCK].
+    # (last-block padding only lands in per_block[:, nb-1], which the exclusive
+    # cumsum never uses; in-block rank masks by position, so pad value is moot)
+    pc = padded.reshape(nb, DENSE_BLOCK)
+    per_block = np.empty((A, nb), dtype=np.int64)
+    for c in range(A):
+        per_block[c] = (pc == c).sum(axis=1)
+    occ_blk = np.zeros((A, nb), dtype=np.int64)
+    occ_blk[:, 1:] = np.cumsum(per_block, axis=1)[:, :-1]
+    return bwt4, occ_blk
+
+
 def build_index(
     text: np.ndarray,
     markers: Sequence[Marker] | None = None,
@@ -30,6 +72,7 @@ def build_index(
     with_sa_samples: bool = True,
     ftab_k: int = 0,
     sa: np.ndarray | None = None,
+    dense: bool = True,
 ) -> RbtIndex:
     text = np.ascontiguousarray(text, dtype=np.uint8)
     n = int(text.shape[0])
@@ -103,6 +146,21 @@ def build_index(
         ma_row = ma_row[srt]
         ma_val = ma_val[srt]
 
+    bwt4 = occ_blk = occ1 = tk1 = None
+    if dense and A <= 16:
+        bwt4, occ_blk = build_dense_tables(codes, A)
+        if n <= OCC1_MAX_N:
+            occ1 = build_occ1(codes, A)
+            if with_sa_samples:
+                # tk1[c, i] = (SA[j]+n-1)%n for last j<=i with BWT[j]==c — the
+                # dense toehold table for lf_step_w_loc_occ1
+                vals = (sa + n - 1) % n
+                tk1 = np.zeros((A, n), dtype=occ1.dtype)
+                pos = np.arange(n, dtype=np.int64)
+                for c in range(A):
+                    ff = np.maximum.accumulate(np.where(codes == c, pos, -1))
+                    tk1[c] = vals[np.maximum(ff, 0)] * (ff >= 0)
+
     idx = RbtIndex(
         n=n,
         alpha=alpha,
@@ -121,6 +179,10 @@ def build_index(
         ma_wsize=ma_wsize,
         doc_starts=doc_starts.astype(np.int64) if doc_starts is not None else None,
         doc_names=doc_names,
+        bwt4=bwt4,
+        occ_blk=occ_blk,
+        occ1=occ1,
+        tk1=tk1,
     )
     if ftab_k:
         from rowbowt_tpu.engine.naive import build_ftab_dense

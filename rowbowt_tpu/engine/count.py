@@ -40,12 +40,18 @@ def find_ranges(dx: DeviceIndex, qcodes, lengths, use_ftab: bool = True):
         startj = jnp.where(hit, k, 0).astype(dt)
 
     done = jnp.zeros(B, dtype=bool)
+    if "occ1_flat" in dx.arrays:
+        step = R.lf_step_occ1
+    elif dx.has_dense:
+        step = R.lf_step_dense
+    else:
+        step = R.lf_step
 
     def body(j, st):
         lo, hi, done = st
         c = qcodes[:, L - 1 - j].astype(dt)
         active = (~done) & (j >= startj) & (j < lengths)
-        nlo, nhi = R.lf_step(dx, lo, hi, c)
+        nlo, nhi = step(dx, lo, hi, c)
         lo = jnp.where(active, nlo, lo)
         hi = jnp.where(active, nhi, hi)
         done = done | (active & (nlo > nhi))

@@ -56,6 +56,10 @@ class DeviceIndex:
     def has_ftab(self) -> bool:
         return "ftab" in self.arrays
 
+    @property
+    def has_dense(self) -> bool:
+        return "bwt4" in self.arrays
+
     @staticmethod
     def from_index(idx: RbtIndex, device=None) -> "DeviceIndex":
         arrs = {k: jnp.asarray(v) for k, v in idx.device_arrays().items()}

@@ -30,12 +30,13 @@ def find_ranges_w_toehold(dx: DeviceIndex, qcodes, lengths):
     k0 = (dx.arrays["samples_last"][dx.R - 1] + 1) % dx.n
     k = jnp.full(B, k0, dtype=dt)
     done = jnp.zeros(B, dtype=bool)
+    step = R.lf_step_w_loc_occ1 if "tk1_flat" in dx.arrays else R.lf_step_w_loc
 
     def body(j, st):
         lo, hi, k, done = st
         c = qcodes[:, L - 1 - j].astype(dt)
         active = (~done) & (j < lengths)
-        nlo, nhi, nk = R.lf_step_w_loc(dx, lo, hi, c, k)
+        nlo, nhi, nk = step(dx, lo, hi, c, k)
         lo = jnp.where(active, nlo, lo)
         hi = jnp.where(active, nhi, hi)
         k = jnp.where(active, nk, k)

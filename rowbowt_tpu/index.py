@@ -75,6 +75,12 @@ class RbtIndex:
     ftab: np.ndarray | None = None  # int[4^k, 2]: (start, end); start==-1 -> absent
     ftab_k: int = 0
 
+    # --- dense FM tables (TPU fast path; DESIGN.md) ---
+    bwt4: np.ndarray | None = None  # uint32[nb*16]: 4-bit packed BWT, 128 syms/block
+    occ_blk: np.ndarray | None = None  # int[A, nb]: count of c before each block
+    occ1: np.ndarray | None = None  # int[A, n+1]: full positional occ (1 gather/rank)
+    tk1: np.ndarray | None = None  # int[A, n]: dense toehold (last-c sample at <=i)
+
     @property
     def R(self) -> int:
         return int(self.run_start.shape[0])
@@ -105,11 +111,12 @@ class RbtIndex:
             "cruns_off": self.cruns_off,
         }
         for name in ("samples_last", "pred_pos", "pred_to_run", "ltk", "ma_row",
-                     "ma_val", "doc_starts", "ftab"):
+                     "ma_val", "doc_starts", "ftab", "bwt4", "occ_blk", "occ1",
+                     "tk1"):
             v = getattr(self, name)
             if v is not None:
                 arrs[name] = v
-        np.savez_compressed(os.path.join(prefix, _ARRS_NAME), **arrs)
+        np.savez(os.path.join(prefix, _ARRS_NAME), **arrs)
         meta = {
             "format": "rowbowt-tpu-index",
             "version": 1,
@@ -152,6 +159,10 @@ class RbtIndex:
             doc_names=meta.get("doc_names") if with_dl else None,
             ftab=get("ftab", with_ft),
             ftab_k=int(meta.get("ftab_k", 0)),
+            bwt4=get("bwt4"),
+            occ_blk=get("occ_blk"),
+            occ1=get("occ1"),
+            tk1=get("tk1", with_sa),
         )
 
     # ---------------- device view ----------------
@@ -182,4 +193,11 @@ class RbtIndex:
             d["doc_starts"] = self.doc_starts.astype(dt)
         if self.ftab is not None:
             d["ftab"] = self.ftab.astype(dt)
+        if self.bwt4 is not None:
+            d["bwt4"] = self.bwt4.astype(np.uint32)
+            d["occ_blk_flat"] = self.occ_blk.astype(dt).reshape(-1)
+        if self.occ1 is not None:
+            d["occ1_flat"] = self.occ1.astype(dt).reshape(-1)
+        if self.tk1 is not None and self.samples_last is not None:
+            d["tk1_flat"] = self.tk1.astype(dt).reshape(-1)
         return d

@@ -22,7 +22,9 @@ from rowbowt_tpu.engine.device import DeviceIndex
 
 
 def _ss(a, v, side):
-    return jnp.searchsorted(a, v, side=side).astype(v.dtype)
+    # scan_unrolled: the default 'scan' method nests a lax loop whose
+    # per-iteration overhead dwarfs the gathers on this backend
+    return jnp.searchsorted(a, v, side=side, method="scan_unrolled").astype(v.dtype)
 
 
 def run_of(dx: DeviceIndex, i):
@@ -49,6 +51,75 @@ def rank(dx: DeviceIndex, i, c):
     return rank_at_run(dx, i, c, r)
 
 
+_DB = 128  # dense block: symbols per occ checkpoint (construct.build.DENSE_BLOCK)
+_DW = _DB // 8  # uint32 words per block
+
+
+def rank_dense(dx: DeviceIndex, i, c):
+    """Dense-FM rank: one checkpoint gather + one contiguous 64B block load +
+    VPU popcount.  ~8x less random HBM traffic than the run-space rank."""
+    arr = dx.arrays
+    csafe = jnp.maximum(c, 0)
+    isafe = jnp.minimum(i, dx.n - 1)
+    blk = isafe >> 7
+    off = isafe & (_DB - 1)
+    nb = arr["bwt4"].shape[0] // _DW
+    occ = arr["occ_blk_flat"][csafe * nb + blk]
+    words = arr["bwt4"][blk[:, None] * _DW + jnp.arange(_DW, dtype=blk.dtype)[None, :]]
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :]
+    nib = ((words[:, :, None] >> shifts) & jnp.uint32(15)).astype(jnp.int32)
+    pos = (jnp.arange(_DW)[:, None] * 8 + jnp.arange(8)[None, :])[None, :, :]
+    hit = (nib == c[:, None, None].astype(jnp.int32)) & (pos < off[:, None, None])
+    inblk = jnp.sum(hit, axis=(1, 2)).astype(occ.dtype)
+    v = occ + inblk
+    total = arr["F"][csafe + 1] - arr["F"][csafe]
+    v = jnp.where(i >= dx.n, total, v)
+    return jnp.where(c < 0, 0, v)
+
+
+def _f_onehot(dx: DeviceIndex, c):
+    """F[c] via one-hot dot over the tiny F table — avoids a gather op."""
+    F = dx.arrays["F"]
+    A = dx.A
+    sel = (jnp.arange(A, dtype=jnp.int32)[None, :] == c[:, None].astype(jnp.int32))
+    return jnp.sum(jnp.where(sel, F[None, :A], 0), axis=1)
+
+
+def rank_occ1(dx: DeviceIndex, i, c):
+    """Full-positional-occ rank: exactly ONE gathered element."""
+    arr = dx.arrays
+    csafe = jnp.maximum(c, 0).astype(i.dtype)
+    n1 = dx.n + 1
+    v = arr["occ1_flat"][csafe * n1 + jnp.clip(i, 0, dx.n)]
+    return jnp.where(c < 0, 0, v.astype(i.dtype))
+
+
+def lf_step_occ1(dx: DeviceIndex, lo, hi, c):
+    """Batched LF at 2 gathered elements per lane-step (count fast path)."""
+    c_before = rank_occ1(dx, lo, c)
+    c_inside = rank_occ1(dx, hi + 1, c) - c_before
+    nlo = _f_onehot(dx, c).astype(lo.dtype) + c_before
+    nhi = nlo + c_inside - 1
+    empty = (c_inside <= 0) | (c < 0)
+    one = jnp.ones((), dtype=nlo.dtype)
+    zero = jnp.zeros((), dtype=nlo.dtype)
+    return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
+
+
+def lf_step_dense(dx: DeviceIndex, lo, hi, c):
+    """Batched LF over the dense tables (count fast path)."""
+    arr = dx.arrays
+    csafe = jnp.maximum(c, 0)
+    c_before = rank_dense(dx, lo, c)
+    c_inside = rank_dense(dx, hi + 1, c) - c_before
+    nlo = arr["F"][csafe] + c_before
+    nhi = nlo + c_inside - 1
+    empty = (c_inside <= 0) | (c < 0)
+    one = jnp.ones((), dtype=nlo.dtype)
+    zero = jnp.zeros((), dtype=nlo.dtype)
+    return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
+
+
 def lf_step(dx: DeviceIndex, lo, hi, c):
     """Batched RowBowt::LF(range, c): (lo', hi') with empty ranges as (1, 0)."""
     arr = dx.arrays
@@ -61,6 +132,36 @@ def lf_step(dx: DeviceIndex, lo, hi, c):
     one = jnp.ones((), dtype=nlo.dtype)
     zero = jnp.zeros((), dtype=nlo.dtype)
     return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
+
+
+def lf_step_w_loc_occ1(dx: DeviceIndex, lo, hi, c, k):
+    """Toehold LF at 4 gathered elements per lane-step: occ1 ranks + the dense
+    tk1 table (tk1[c,i] = (SA[j]+n-1)%n for the last j<=i with BWT[j]==c) —
+    exactly the reference's samples_last[run_of(last c before hi+1)]."""
+    arr = dx.arrays
+    n1 = dx.n + 1
+    csafe = jnp.maximum(c, 0).astype(lo.dtype)
+    o_lo = arr["occ1_flat"][csafe * n1 + jnp.clip(lo, 0, dx.n)]
+    o_hi1 = arr["occ1_flat"][csafe * n1 + jnp.clip(hi + 1, 0, dx.n)]
+    o_hi = arr["occ1_flat"][csafe * n1 + jnp.clip(hi, 0, dx.n)]
+    c_before = jnp.where(c < 0, 0, o_lo.astype(lo.dtype))
+    c_inside = jnp.where(c < 0, 0, (o_hi1 - o_lo).astype(lo.dtype))
+    nlo = _f_onehot(dx, c).astype(lo.dtype) + c_before
+    nhi = nlo + c_inside - 1
+    empty = (c_inside <= 0) | (c < 0)
+    trivial = (o_hi1 - o_hi) == 1  # BWT[hi] == c
+    nk = jnp.where(
+        trivial,
+        jnp.where(k == 0, dx.n - 1, k - 1),
+        arr["tk1_flat"][csafe * dx.n + jnp.clip(hi, 0, dx.n - 1)],
+    )
+    one = jnp.ones((), dtype=nlo.dtype)
+    zero = jnp.zeros((), dtype=nlo.dtype)
+    return (
+        jnp.where(empty, one, nlo),
+        jnp.where(empty, zero, nhi),
+        jnp.where(empty, zero, nk.astype(lo.dtype)),
+    )
 
 
 def lf_step_w_loc(dx: DeviceIndex, lo, hi, c, k):
