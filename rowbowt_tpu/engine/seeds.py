@@ -1,0 +1,332 @@
+"""Batched greedy seeding: the production rb_markers / rb_locs query paths.
+
+TPU-native lockstep versions of the reference's data-dependent seeding loops:
+
+- seeds_greedy_w_sample   == RowBowt::get_seeds_greedy_w_sample (rowbowt.hpp:222-256)
+- markers_greedy_seeding  == RowBowt::get_markers_greedy_seeding (rowbowt.hpp:406-482),
+  including the ftab kmer-shift restart scan (rowbowt.hpp:454-464)
+- locate_from_longest_seed == RowBowt::locate_from_longest_seed (rowbowt.hpp:664-690)
+
+The reference's per-read control flow (seed resets, the inner ftab restart
+while-loop) becomes a per-lane state machine advanced one transition per
+fori_loop iteration.  The ftab inner loop fuses into the failure transition:
+every iteration computes both the LF step and the ftab probe for all lanes and
+selects per lane, so each lane's position counter i advances >= 1 per iteration
+and L iterations always complete the batch.
+
+Variable-count outputs (seeds per read, markers per seed) become fixed-size
+tables [B, S] / [B, S, K] plus true-count vectors; overflow is visible as
+count > capacity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rowbowt_tpu.engine.device import DeviceIndex
+from rowbowt_tpu.ops import rank as R
+
+
+def _append_left(buf, used, vals, cnt):
+    """Append vals[:, :cnt] at slots [used, used+cnt) of buf [B, K].
+
+    Chronological (reference mbuf append) order; overflow past K drops the
+    newest entries.  Returns (buf, used) with used clipped to K.
+    """
+    B, K = buf.shape
+    W = vals.shape[1]
+    slots = jnp.arange(K, dtype=used.dtype)[None, :]
+    src = slots - used[:, None]
+    take = (src >= 0) & (src < jnp.minimum(cnt, W)[:, None])
+    gathered = jnp.take_along_axis(vals, jnp.clip(src, 0, W - 1), axis=1)
+    buf = jnp.where(take, gathered, buf)
+    used = jnp.minimum(used + cnt, K)
+    return buf, used
+
+
+def _scatter_rows(arr, slot, mask, val):
+    """arr[b, slot[b]] = val[b] where mask[b]; arr is [B, S] (or [B, S, K])."""
+    B = arr.shape[0]
+    rows = jnp.arange(B)
+    cur = arr[rows, slot]
+    return arr.at[rows, slot].set(jnp.where(mask if arr.ndim == 2 else mask[:, None], val, cur))
+
+
+@partial(jax.jit, static_argnames=("min_length", "max_seeds"))
+def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
+                          max_seeds: int = 8):
+    """Batched RowBowt::get_seeds_greedy_w_sample (rowbowt.hpp:222-256).
+
+    Returns (slo, shi, sqs, sqe, ssamp) [B, S] and nseeds [B].  Seed i of lane
+    b spans query offsets [sqs, sqe) (qend EXCLUSIVE, like the reference
+    LFData from this routine) with BWT range (slo, shi) and toehold sample
+    ssamp.  nseeds may exceed S (overflow: earliest seeds kept).
+    """
+    B, L = qcodes.shape
+    S = max_seeds
+    dt = dx.idx_dtype
+    m = lengths.astype(dt)
+    lo = jnp.zeros(B, dtype=dt)
+    hi = jnp.full(B, dx.n - 1, dtype=dt)
+    plo, phi_ = lo, hi
+    first_k = (dx.arrays["samples_last"][dx.R - 1] + 1) % dx.n
+    k = jnp.full(B, first_k, dtype=dt)
+    pk = jnp.full(B, -1, dtype=dt)
+    ei = m
+    slo = jnp.full((B, S), 1, dtype=dt)
+    shi = jnp.zeros((B, S), dtype=dt)
+    sqs = jnp.zeros((B, S), dtype=dt)
+    sqe = jnp.zeros((B, S), dtype=dt)
+    ssamp = jnp.zeros((B, S), dtype=dt)
+    ns = jnp.zeros(B, dtype=dt)
+    step = R.lf_step_w_loc_occ1 if "tk1_flat" in dx.arrays else R.lf_step_w_loc
+
+    def body(j, st):
+        lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns = st
+        c = qcodes[:, L - 1 - j].astype(dt)
+        active = j < m
+        nlo, nhi, nk = step(dx, lo, hi, c, k)
+        fail = active & (nlo > nhi)
+        ok = active & ~fail
+        # failure: emit (prev, qstart=m-j, qend=ei, ssamp=pk) if long enough
+        emit = fail & (ei - (m - j) >= min_length)
+        rec = emit & (ns < S)
+        slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
+        slo = _scatter_rows(slo, slot, rec, plo)
+        shi = _scatter_rows(shi, slot, rec, phi_)
+        sqs = _scatter_rows(sqs, slot, rec, m - j)
+        sqe = _scatter_rows(sqe, slot, rec, ei)
+        ssamp = _scatter_rows(ssamp, slot, rec, pk)
+        ns = ns + emit.astype(dt)
+        # state update
+        lo = jnp.where(ok, nlo, jnp.where(fail, 0, lo))
+        hi = jnp.where(ok, nhi, jnp.where(fail, dx.n - 1, hi))
+        k = jnp.where(ok, nk, jnp.where(fail, jnp.asarray(first_k, dtype=dt), k))
+        plo = jnp.where(ok, nlo, jnp.where(fail, 0, plo))
+        phi_ = jnp.where(ok, nhi, jnp.where(fail, dx.n - 1, phi_))
+        pk = jnp.where(ok, nk, pk)
+        ei = jnp.where(fail, m - j - 1, ei)
+        return lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns
+
+    st = (lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns)
+    lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns = jax.lax.fori_loop(
+        0, L, body, st
+    )
+    # tail seed (rowbowt.hpp:252-254): qstart=0, qend=ei, from prev state
+    emit = ei >= min_length
+    rec = emit & (ns < S)
+    slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
+    slo = _scatter_rows(slo, slot, rec, plo)
+    shi = _scatter_rows(shi, slot, rec, phi_)
+    sqs = _scatter_rows(sqs, slot, rec, jnp.zeros_like(ei))
+    sqe = _scatter_rows(sqe, slot, rec, ei)
+    ssamp = _scatter_rows(ssamp, slot, rec, pk)
+    ns = ns + emit.astype(dt)
+    return slo, shi, sqs, sqe, ssamp, ns
+
+
+@partial(jax.jit, static_argnames=("max_hits",))
+def locate_from_longest_seed(dx: DeviceIndex, slo, shi, sqs, sqe, ssamp, ns,
+                             max_hits: int):
+    """Batched RowBowt::locate_from_longest_seed (rowbowt.hpp:664-690).
+
+    Picks each lane's longest seed (first wins ties, like the reference's
+    strict > scan) and phi-walks its range; positions are corrected by -qstart.
+    Returns (locs [B, max_hits] pad -1, count [B]); lanes with no seeds
+    return count 0.
+    """
+    from rowbowt_tpu.engine.locate import locate
+
+    B, S = slo.shape
+    lens = sqe - sqs
+    valid = jnp.arange(S, dtype=ns.dtype)[None, :] < jnp.minimum(ns, S)[:, None]
+    lens = jnp.where(valid, lens, -1)
+    best = jnp.argmax(lens, axis=1)
+    rows = jnp.arange(B)
+    blo = slo[rows, best]
+    bhi = shi[rows, best]
+    bqs = sqs[rows, best]
+    bk = ssamp[rows, best]
+    has = (ns > 0) & (bhi >= blo)
+    locs, cnt = locate(dx, jnp.where(has, blo, 1), jnp.where(has, bhi, 0), bk,
+                       max_hits=max_hits)
+    locs = jnp.where(locs >= 0, locs - bqs[:, None], -1)
+    return locs, jnp.where(has, cnt, 0)
+
+
+@partial(jax.jit, static_argnames=("wsize", "max_range", "max_seeds", "max_k",
+                                   "use_ftab"))
+def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
+                           max_range: int = 1 << 62, max_seeds: int = 8,
+                           max_k: int = 16, use_ftab: bool = True):
+    """Batched RowBowt::get_markers_greedy_seeding (rowbowt.hpp:406-482).
+
+    Per lane, seeds are emitted exactly at the reference's fn() callsites
+    (rowbowt.hpp:449, 481) with their window-probed marker buffers:
+
+    Returns:
+      slo, shi   [B, S]    seed BWT range (prev_range / final range)
+      sqs, sqe   [B, S]    fn's (m-i, seed_ei-1) pair — qend INCLUSIVE, may
+                           wrap below qstart for degenerate tail seeds
+      mvals      [B, S, K] packed markers per seed, chronological append order
+                           (pre sort/unique — apply engine.filters on host)
+      mcnt       [B, S]    true marker count (> K means truncation)
+      nseeds     [B]       true seed count (> S means truncation)
+    """
+    B, L = qcodes.shape
+    S, K = max_seeds, max_k
+    dt = dx.idx_dtype
+    m = lengths.astype(dt)
+    max_range = jnp.asarray(min(int(max_range), int(jnp.iinfo(dt).max)), dtype=dt)
+
+    ftk = dx.ftab_k if (use_ftab and dx.has_ftab and L >= dx.ftab_k > 0) else 0
+    if ftk and ftk - 1 > wsize:
+        raise ValueError("wsize cannot be less than ftab k-1 (rowbowt.hpp:423-426)")
+
+    lo = jnp.zeros(B, dtype=dt)
+    hi = jnp.full(B, dx.n - 1, dtype=dt)
+    i = jnp.zeros(B, dtype=dt)
+    if ftk:
+        kc = R.kmer_codes(dx, qcodes[:, L - ftk:])
+        flo, fhi, hit = R.ftab_lookup(dx, kc)
+        hit = hit & (m >= ftk)
+        lo = jnp.where(hit, flo.astype(dt), lo)
+        hi = jnp.where(hit, fhi.astype(dt), hi)
+        i = jnp.where(hit, ftk, 0).astype(dt)
+    plo, phi_ = lo, hi
+    seed_ei = m
+    window_ei = m
+
+    cbuf = jnp.full((B, K), -1, dtype=jnp.int64)
+    cused = jnp.zeros(B, dtype=dt)
+    ctot = jnp.zeros(B, dtype=dt)
+    slo = jnp.full((B, S), 1, dtype=dt)
+    shi = jnp.zeros((B, S), dtype=dt)
+    sqs = jnp.zeros((B, S), dtype=dt)
+    sqe = jnp.zeros((B, S), dtype=dt)
+    mvals = jnp.full((B, S, K), -1, dtype=jnp.int64)
+    mcnt = jnp.zeros((B, S), dtype=dt)
+    ns = jnp.zeros(B, dtype=dt)
+
+    if "occ1_flat" in dx.arrays:
+        lf = R.lf_step_occ1
+    elif dx.has_dense:
+        lf = R.lf_step_dense
+    else:
+        lf = R.lf_step
+
+    def probe_markers(tlo, thi, do):
+        small = (thi - tlo + 1) <= max_range
+        go = do & small
+        vals, cnt = R.markers_at_range(
+            dx, jnp.where(go, tlo, 1), jnp.where(go, thi, 0), K
+        )
+        return vals, jnp.where(go, cnt, 0).astype(dt)
+
+    def ftab_probe(i):
+        """search_ftab over codes[m-i-1-k : m-i-1] == columns L-i-1-k + t."""
+        cols = (L - 1 - i - ftk)[:, None] + jnp.arange(ftk, dtype=dt)[None, :]
+        window = jnp.take_along_axis(
+            qcodes, jnp.clip(cols, 0, L - 1).astype(qcodes.dtype), axis=1
+        )
+        kc = R.kmer_codes(dx, window)
+        flo, fhi, hit = R.ftab_lookup(dx, kc)
+        return flo.astype(dt), fhi.astype(dt), hit
+
+    def body(_, st):
+        (lo, hi, plo, phi_, i, seed_ei, window_ei, cbuf, cused, ctot,
+         slo, shi, sqs, sqe, mvals, mcnt, ns) = st
+        active = i < m
+        col = jnp.clip(L - 1 - i, 0, L - 1).astype(qcodes.dtype)
+        c = jnp.take_along_axis(qcodes, col[:, None], axis=1)[:, 0].astype(dt)
+        nlo, nhi = lf(dx, lo, hi, c)
+
+        ok = active & (nlo <= nhi)
+        fail = active & (nlo > nhi)
+
+        # --- success path: window probe (rowbowt.hpp:472-478)
+        w_trigger = ok & (window_ei - (m - i - 1) >= wsize)
+        # --- failure path: seed-final probe of prev (rowbowt.hpp:448)
+        f_probe = fail & (seed_ei - (m - i) >= wsize)
+        # one markers probe per iteration, target selected per lane
+        tlo = jnp.where(fail, plo, nlo)
+        thi = jnp.where(fail, phi_, nhi)
+        vals, cnt = probe_markers(tlo, thi, w_trigger | f_probe)
+        cbuf, cused = _append_left(cbuf, cused, vals, cnt)
+        ctot = ctot + cnt
+        window_ei = jnp.where(w_trigger, m - i - 1, window_ei)
+
+        # --- failure: emit seed (prev, (m-i, seed_ei-1), cbuf)
+        rec = fail & (ns < S)
+        slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
+        slo = _scatter_rows(slo, slot, rec, plo)
+        shi = _scatter_rows(shi, slot, rec, phi_)
+        sqs = _scatter_rows(sqs, slot, rec, m - i)
+        sqe = _scatter_rows(sqe, slot, rec, seed_ei - 1)
+        mvals = mvals.at[jnp.arange(B), slot].set(
+            jnp.where(rec[:, None], cbuf, mvals[jnp.arange(B), slot])
+        )
+        mcnt = _scatter_rows(mcnt, slot, rec, ctot)
+        ns = ns + fail.astype(dt)
+        cbuf = jnp.where(fail[:, None], -1, cbuf)
+        cused = jnp.where(fail, 0, cused)
+        ctot = jnp.where(fail, 0, ctot)
+        # post-failure reset (rowbowt.hpp:450-453)
+        plo = jnp.where(fail, 0, plo)
+        phi_ = jnp.where(fail, dx.n - 1, phi_)
+        seed_ei = jnp.where(fail, m - i - 1, seed_ei)
+        window_ei = jnp.where(fail, m - i - 1, window_ei)
+
+        if ftk:
+            # restart scan (rowbowt.hpp:454-464): search_ftab returns the FULL
+            # range (not a failure) on a missing kmer (rowbowt.hpp:757), so the
+            # scan's hit check passes on the very first probe, always — one
+            # probe, i += k+1, prev = probe range (possibly full).  The scan's
+            # miss branch is dead code in the reference.
+            hit = fail & (m - i - 1 >= ftk)
+            seed_ei = jnp.where(hit, m - i - 1, seed_ei)
+            window_ei = jnp.where(hit, m - i - 1, window_ei)
+            pflo, pfhi, _ = ftab_probe(i)
+            to_full = fail & ~hit
+            lo = jnp.where(ok, nlo, jnp.where(hit, pflo, jnp.where(to_full, 0, lo)))
+            hi = jnp.where(ok, nhi,
+                           jnp.where(hit, pfhi, jnp.where(to_full, dx.n - 1, hi)))
+            plo = jnp.where(ok, nlo, jnp.where(hit, pflo, plo))
+            phi_ = jnp.where(ok, nhi, jnp.where(hit, pfhi, phi_))
+            i = jnp.where(active, jnp.where(hit, i + ftk + 1, i + 1), i)
+        else:
+            lo = jnp.where(ok, nlo, jnp.where(fail, 0, lo))
+            hi = jnp.where(ok, nhi, jnp.where(fail, dx.n - 1, hi))
+            plo = jnp.where(ok, nlo, plo)
+            phi_ = jnp.where(ok, nhi, phi_)
+            i = jnp.where(active, i + 1, i)
+        return (lo, hi, plo, phi_, i, seed_ei, window_ei, cbuf, cused,
+                ctot, slo, shi, sqs, sqe, mvals, mcnt, ns)
+
+    st = (lo, hi, plo, phi_, i, seed_ei, window_ei, cbuf, cused, ctot,
+          slo, shi, sqs, sqe, mvals, mcnt, ns)
+    (lo, hi, plo, phi_, i, seed_ei, window_ei, cbuf, cused, ctot,
+     slo, shi, sqs, sqe, mvals, mcnt, ns) = jax.lax.fori_loop(0, L, body, st)
+
+    # final emission (rowbowt.hpp:477-481): fn(range, (m-i, seed_ei-1), mbuf)
+    nonempty = hi >= lo
+    f_probe = nonempty & (seed_ei - (m - i) >= wsize)
+    vals, cnt = probe_markers(lo, hi, f_probe)
+    cbuf, cused = _append_left(cbuf, cused, vals, cnt)
+    ctot = ctot + cnt
+    emit = m > 0
+    rec = emit & (ns < S)
+    slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
+    slo = _scatter_rows(slo, slot, rec, lo)
+    shi = _scatter_rows(shi, slot, rec, hi)
+    sqs = _scatter_rows(sqs, slot, rec, m - i)
+    sqe = _scatter_rows(sqe, slot, rec, seed_ei - 1)
+    mvals = mvals.at[jnp.arange(B), slot].set(
+        jnp.where(rec[:, None], cbuf, mvals[jnp.arange(B), slot])
+    )
+    mcnt = _scatter_rows(mcnt, slot, rec, ctot)
+    ns = ns + emit.astype(dt)
+    return slo, shi, sqs, sqe, mvals, mcnt, ns

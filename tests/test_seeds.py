@@ -1,0 +1,125 @@
+"""Batched greedy seeding vs the reference-exact naive engine."""
+
+import numpy as np
+import pytest
+
+from rowbowt_tpu.engine import naive
+from rowbowt_tpu.engine.batch import encode_batch
+from rowbowt_tpu.engine.device import DeviceIndex
+from rowbowt_tpu.engine.seeds import (
+    locate_from_longest_seed,
+    markers_greedy_seeding,
+    seeds_greedy_w_sample,
+)
+
+
+def _error_reads(idx, text, n, rng, minlen=20, maxlen=60, nerr=2):
+    reads = []
+    for _ in range(n):
+        L = int(rng.integers(minlen, maxlen))
+        p = int(rng.integers(0, len(text) - L - 1))
+        r = text[p:p + L].copy()
+        for _ in range(int(rng.integers(0, nerr + 1))):
+            r[int(rng.integers(0, L))] = rng.choice(np.frombuffer(b"ACGT", np.uint8))
+        reads.append(bytes(r))
+    return reads
+
+
+@pytest.fixture(scope="module")
+def batch(rand_index):
+    idx, text = rand_index
+    rng = np.random.default_rng(7)
+    reads = _error_reads(idx, text, 32, rng)
+    return idx, reads
+
+
+def test_seeds_greedy_w_sample(batch):
+    idx, reads = batch
+    dx = DeviceIndex.from_index(idx)
+    qc, lens = encode_batch(idx, reads)
+    S = 8
+    slo, shi, sqs, sqe, ssamp, ns = map(
+        np.asarray, seeds_greedy_w_sample(dx, qc, lens, min_length=5, max_seeds=S)
+    )
+    for b, r in enumerate(reads):
+        codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+        want = naive.get_seeds_greedy_w_sample(idx, codes, min_length=5)
+        assert ns[b] == len(want)
+        for s, lfd in enumerate(want[:S]):
+            assert (slo[b, s], shi[b, s]) == lfd.rn, (b, s)
+            assert (sqs[b, s], sqe[b, s]) == (lfd.qstart, lfd.qend), (b, s)
+            assert ssamp[b, s] == lfd.ssamp % (1 << 62), (b, s)
+
+
+def test_locate_from_longest_seed(batch):
+    idx, reads = batch
+    dx = DeviceIndex.from_index(idx)
+    qc, lens = encode_batch(idx, reads)
+    res = seeds_greedy_w_sample(dx, qc, lens, min_length=5, max_seeds=8)
+    locs, cnt = map(np.asarray, locate_from_longest_seed(dx, *res, max_hits=6))
+    for b, r in enumerate(reads):
+        codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+        lfs = naive.get_seeds_greedy_w_sample(idx, codes, min_length=5)
+        want = naive.locate_from_longest_seed(idx, 6, lfs)
+        assert [int(x) for x in locs[b, : cnt[b]]] == want, b
+
+
+def _naive_seeds(idx, codes, wsize, max_range, use_ftab):
+    out = []
+    naive.get_markers_greedy_seeding(
+        idx, codes, wsize, max_range,
+        lambda rn, q, mk: out.append((tuple(rn), tuple(q), [int(x) for x in mk])),
+        use_ftab=use_ftab,
+    )
+    return out
+
+
+@pytest.mark.parametrize("use_ftab", [False, True])
+def test_markers_greedy_seeding(tiny_index_ftab, use_ftab):
+    idx = tiny_index_ftab
+    rng = np.random.default_rng(3)
+    # panel text reads (ACGT segments only)
+    text = None
+    from rowbowt_tpu.construct import build_panel  # noqa: F401  (fixture built it)
+    # sample reads straight from indexed text rows via the naive engine's text
+    # reconstruction is overkill — use random ACGT + known-marker-adjacent reads
+    reads = []
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    for _ in range(24):
+        L = int(rng.integers(15, 40))
+        reads.append(bytes(rng.choice(acgt, size=L)))
+    # add reads guaranteed to match: decode BWT rows back is complex; instead
+    # use locate on random reads is fine — random 15-40mers rarely match, so
+    # also pull substrings from the reference FASTA
+    with open("/root/reference/tests/data/small.fa") as f:
+        seq = "".join(l.strip() for l in f if not l.startswith(">"))
+    for _ in range(24):
+        L = int(rng.integers(15, 60))
+        p = int(rng.integers(0, len(seq) - L))
+        r = bytearray(seq[p:p + L].encode())
+        if rng.random() < 0.6:
+            r[int(rng.integers(0, L))] = int(rng.choice(acgt))
+        reads.append(bytes(r))
+
+    dx = DeviceIndex.from_index(idx)
+    qc, lens = encode_batch(idx, reads)
+    S, K = 8, 16
+    wsize = 10
+    slo, shi, sqs, sqe, mvals, mcnt, ns = map(
+        np.asarray,
+        markers_greedy_seeding(dx, qc, lens, wsize=wsize, max_seeds=S, max_k=K,
+                               use_ftab=use_ftab),
+    )
+    for b, r in enumerate(reads):
+        codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+        want = _naive_seeds(idx, codes, wsize, 1 << 62, use_ftab)
+        assert ns[b] == len(want), (b, use_ftab)
+        for s, (rn, q, mk) in enumerate(want[:S]):
+            assert (slo[b, s], shi[b, s]) == rn, (b, s)
+            # naive qend mirrors the reference's size_t wrap via Python ints;
+            # the kernel stores it in the index dtype (wraps negative)
+            assert sqs[b, s] == q[0], (b, s)
+            assert sqe[b, s] == np.asarray(q[1]).astype(sqe.dtype), (b, s)
+            got_m = [int(x) for x in mvals[b, s, : min(mcnt[b, s], K)]]
+            assert got_m == mk[:K], (b, s)
+            assert mcnt[b, s] == len(mk), (b, s)
