@@ -22,17 +22,16 @@ import numpy as np
 TERM_BYTE = 0x01
 SEP_BYTE = 0x02
 
-# seqtk-style N-normalization used by rb_markers (/root/reference/src/rb_markers.cpp:139-156):
-# acgtACGT (and 'n'/'N' -> ... actually everything non-acgt) maps to 'N', except the table
-# maps a/A->A c/C->C g/G->G t/T->T u/U->A n->N etc.  We replicate: upper-case ACGT kept,
-# lower-case mapped up, 'U'/'u'->'A', everything else -> 'N'.
+# N-normalization used by rb_markers (seq_ntoa_table, /root/reference/src/
+# rb_markers.cpp:139-156): a/A->A c/C->C g/G->G t/T->T, n/N->A (matching
+# pfbwt's --non-acgt-to-a index text), every other byte -> 'N'.
 _NTOA = np.full(256, ord("N"), dtype=np.uint8)
 for _b, _v in [
     (ord("a"), "A"), (ord("A"), "A"),
     (ord("c"), "C"), (ord("C"), "C"),
     (ord("g"), "G"), (ord("G"), "G"),
     (ord("t"), "T"), (ord("T"), "T"),
-    (ord("u"), "A"), (ord("U"), "A"),
+    (ord("n"), "A"), (ord("N"), "A"),
 ]:
     _NTOA[_b] = ord(_v)
 

@@ -1,0 +1,71 @@
+"""Shared CLI plumbing: index loading, shape-bucketed batching, timers.
+
+The reference binaries stream one read at a time (rb_align.cpp:176-178) or
+through a thread pool (rb_markers.cpp:318-535); the TPU pipeline instead
+gathers reads into fixed-shape batches (padded lengths bucketed to powers of
+two so jit caches stay warm) and keeps OUTPUT IN INPUT ORDER — strictly
+stronger than rb_markers' nondeterministic thread interleaving, and identical
+to rb_align's ordering.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from rowbowt_tpu.engine.batch import encode_batch
+from rowbowt_tpu.index import RbtIndex
+from rowbowt_tpu.io.fastq import batched, read_seqs
+
+
+def eprint(*a):
+    print(*a, file=sys.stderr)
+
+
+def pow2_at_least(x: int, floor: int = 32) -> int:
+    p = floor
+    while p < x:
+        p <<= 1
+    return p
+
+
+class Timer:
+    def __init__(self):
+        self.t0 = time.perf_counter()
+
+    def lap(self) -> float:
+        return time.perf_counter() - self.t0
+
+
+def load_index(prefix: str, sa=False, ma=False, dl=False, ft=False) -> RbtIndex:
+    eprint(f"loading: {prefix}")
+    return RbtIndex.load(prefix, with_sa=sa, with_ma=ma, with_dl=dl, with_ft=ft)
+
+
+def device_index(idx: RbtIndex):
+    from rowbowt_tpu.engine.device import DeviceIndex
+
+    return DeviceIndex.from_index(idx)
+
+
+def iter_query_batches(idx: RbtIndex, fastq: str, batch_size: int,
+                       normalize=None, with_rc: bool = False):
+    """Yield (records, qcodes, lengths) per batch; with_rc interleaves each
+    read's forward and reverse-complement as adjacent lanes (2B total)."""
+    from rowbowt_tpu.alphabet import revcomp
+
+    for recs in batched(read_seqs(fastq), batch_size):
+        seqs = []
+        for _, seq, _ in recs:
+            s = normalize(seq) if normalize is not None else np.frombuffer(seq, np.uint8)
+            seqs.append(s)
+            if with_rc:
+                seqs.append(revcomp(s))
+        # pad the lane count to the fixed batch size so jit compiles once
+        full = batch_size * (2 if with_rc else 1)
+        seqs += [np.empty(0, np.uint8)] * (full - len(seqs))
+        L = pow2_at_least(max((len(s) for s in seqs), default=1))
+        qc, lens = encode_batch(idx, [s.tobytes() for s in seqs], pad_to=L)
+        yield recs, qc, lens

@@ -1,0 +1,96 @@
+"""rbt_align — per-read count / locate / markers (rb_align equivalent).
+
+Output is byte-identical to rb_align's rb_report (src/rb_align.cpp:118-145):
+    <name> (<s>,<e>), count=<n>
+    \\tlocs: <l>/<doc>:<off> ...          (-s; unbounded hits like the
+                                           reference's max_hits = (uint64)-1)
+    \\tmarkers: <pos>/<allele> ...        (-m; or the no-markers notice)
+with the reference's quirks: empty range prints (1,0) count=0, locate order is
+toehold-first-then-phi-chain, marker positions 0-based.  Load time and query
+time go to stderr as "<load_s> <query_s>" (rb_align.cpp:164-192).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from rowbowt_tpu.cli.common import (
+    Timer, device_index, eprint, iter_query_batches, load_index, pow2_at_least,
+)
+from rowbowt_tpu.index import marker_allele, marker_pos
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rbt_align", description=__doc__)
+    p.add_argument("inpre", help="index prefix (directory)")
+    p.add_argument("fastq")
+    p.add_argument("-o", "--output-prefix", dest="outpre", default=None)
+    p.add_argument("-s", "--sam", action="store_true",
+                   help="also locate (loads toehold SA + doc list)")
+    p.add_argument("-m", "--markers", action="store_true",
+                   help="also report markers over the final range")
+    p.add_argument("-b", "--batch-size", type=int, default=4096)
+    p.add_argument("--max-hits", type=int, default=None,
+                   help="cap located occurrences (default: unbounded)")
+    args = p.parse_args(argv)
+
+    t_load = Timer()
+    idx = load_index(args.inpre, sa=args.sam, ma=args.markers, dl=args.sam)
+    dx = device_index(idx)
+    load_s = t_load.lap()
+
+    from rowbowt_tpu.engine.count import find_ranges
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate, resolve_docs
+    from rowbowt_tpu.engine.markers import markers_for_ranges
+
+    out = sys.stdout
+    t_query = Timer()
+    for recs, qc, lens in iter_query_batches(idx, args.fastq, args.batch_size):
+        if args.sam:
+            lo, hi, k = find_ranges_w_toehold(dx, qc, lens)
+        else:
+            lo, hi = find_ranges(dx, qc, lens)
+        lo_h, hi_h = np.asarray(lo), np.asarray(hi)
+        if args.sam:
+            # the reference locates the WHOLE range (max_hits = -1); batch cap
+            # = largest range in this batch unless the user capped it
+            sizes = np.where(hi_h >= lo_h, hi_h - lo_h + 1, 0)
+            mh = args.max_hits or pow2_at_least(max(int(sizes.max()), 1), floor=4)
+            locs, nocc = locate(dx, lo, hi, k, max_hits=int(mh))
+            docs, offs = resolve_docs(dx, locs)
+            locs, nocc = np.asarray(locs), np.asarray(nocc)
+            docs, offs = np.asarray(docs), np.asarray(offs)
+        if args.markers:
+            mvals, mcnt = markers_for_ranges(dx, lo, hi, max_k=64)
+            mvals, mcnt = np.asarray(mvals), np.asarray(mcnt)
+
+        for b, (name, _, _) in enumerate(recs):
+            s, e = int(lo_h[b]), int(hi_h[b])
+            cnt = e - s + 1 if e >= s else 0  # (1,0) -> 0 (rb_align.cpp:122)
+            out.write(f"{name} ({s},{e}), count={cnt}\n")
+            if args.sam:
+                parts = ["\tlocs: "]
+                for j in range(int(nocc[b])):
+                    l = int(locs[b, j])
+                    dn = idx.doc_names[int(docs[b, j])] if idx.doc_names else "?"
+                    parts.append(f"{l}/{dn}:{int(offs[b, j])} ")
+                out.write("".join(parts) + "\n")
+            if args.markers:
+                parts = ["\tmarkers: "]
+                n_m = int(mcnt[b])
+                if n_m == 0:
+                    parts.append("no markers (consider building the marker "
+                                 "array with a larger window size)")
+                for j in range(min(n_m, 64)):
+                    m = np.int64(mvals[b, j])
+                    parts.append(f"{int(marker_pos(m))}/{int(marker_allele(m))} ")
+                out.write("".join(parts) + "\n")
+    eprint(f"{load_s} {t_query.lap()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

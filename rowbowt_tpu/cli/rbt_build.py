@@ -1,0 +1,107 @@
+"""rbt_build — build a serialized index (rb_build equivalent, src/rb_build.cpp).
+
+Two input modes:
+  raw prefix mode (the reference's contract, rb_build.cpp:83-95):
+      rbt_build [-s] [-l] [-f] [-k K] [-o OUT] <prefix>
+    consumes <prefix>.bwt [.ssa .esa] [.docs] produced by pfbwt-f.
+  native mode (replaces the out-of-repo pfbwt-f + vcf_to_bwt.py pipeline):
+      rbt_build --fasta ref.fa [--vcf panel.vcf.gz] [--samples s1,s2] \
+                [--wsize W] [-s] [-m] [-l] [-f] [-k K] -o OUT
+    builds the haplotype-panel text + markers + docs in-process (native SA-IS).
+
+--ftab-only rebuilds just the ftab of an existing index (rb_build.cpp:34-37).
+The output is a directory holding the dense device tables (the index IS the
+checkpoint, like the reference's .rbwt/.tsa/.mab/.docs/.ftab file set).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from rowbowt_tpu.cli.common import Timer, eprint
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rbt_build", description=__doc__)
+    p.add_argument("prefix", nargs="?", help="raw pfbwt-f input prefix")
+    p.add_argument("-o", "--output-prefix", dest="out", default=None)
+    p.add_argument("-s", "--tsa", action="store_true", help="build toehold SA")
+    p.add_argument("-m", "--ma", action="store_true", help="build marker array")
+    p.add_argument("-l", "--dl", action="store_true", help="build doc list")
+    p.add_argument("-f", "--ft", action="store_true", help="build ftab")
+    p.add_argument("-k", type=int, default=10, help="ftab k (default 10)")
+    p.add_argument("--ftab-only", action="store_true",
+                   help="rebuild only the ftab of an existing index")
+    p.add_argument("--fasta", help="native mode: reference FASTA")
+    p.add_argument("--vcf", help="native mode: VCF for the haplotype panel")
+    p.add_argument("--samples", help="native mode: comma-separated sample subset")
+    p.add_argument("--wsize", type=int, default=10,
+                   help="marker window size (native mode, default 10)")
+    p.add_argument("--no-dense", action="store_true",
+                   help="skip dense occ tables (smallest index, slower queries)")
+    args = p.parse_args(argv)
+
+    from rowbowt_tpu.index import RbtIndex
+
+    t = Timer()
+    if args.ftab_only:
+        out = args.out or args.prefix
+        if out is None:
+            p.error("--ftab-only needs an index prefix")
+        idx = RbtIndex.load(out)
+        from rowbowt_tpu.engine.naive import build_ftab_dense
+
+        idx.ftab = build_ftab_dense(idx, args.k)
+        idx.ftab_k = args.k
+        idx.save(out)
+        eprint(f"ftab rebuilt in {t.lap():.2f}s")
+        return 0
+
+    ftab_k = args.k if args.ft else 0
+    if args.fasta:
+        from rowbowt_tpu.construct import build_panel
+        from rowbowt_tpu.construct.build import build_index_from_panel
+
+        out = args.out
+        if out is None:
+            p.error("native mode requires -o/--output-prefix")
+        eprint(f"constructing from {args.fasta}"
+               + (f" + {args.vcf}" if args.vcf else ""))
+        panel = build_panel(
+            args.fasta, args.vcf, wsize=args.wsize,
+            samples=args.samples.split(",") if args.samples else None,
+        )
+        idx = build_index_from_panel(
+            panel, with_sa_samples=args.tsa, ftab_k=ftab_k,
+            dense=not args.no_dense,
+        )
+        if args.ma:
+            # also emit the positional marker index for rbt_locs
+            from rowbowt_tpu.midx import PosMarkers
+
+            PosMarkers.from_panel(panel).save(out.rstrip("/") + ".midx.npz")
+        else:
+            idx.ma_row = idx.ma_val = None
+        if not args.dl:
+            idx.doc_starts = None
+            idx.doc_names = None
+    else:
+        if args.prefix is None:
+            p.error("provide a raw input prefix or --fasta")
+        from rowbowt_tpu.construct.rawio import build_index_from_raw
+
+        eprint(f"constructing from raw {args.prefix}.bwt")
+        idx = build_index_from_raw(
+            args.prefix, with_sa=args.tsa, with_docs=args.dl,
+            ftab_k=ftab_k, dense=not args.no_dense,
+        )
+        out = args.out or args.prefix + ".rbtidx"
+
+    idx.save(out)
+    eprint(f"built index (n={idx.n}, R={idx.R}) -> {out} in {t.lap():.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,6 +63,78 @@ def build_dense_tables(codes: np.ndarray, A: int):
     return bwt4, occ_blk
 
 
+def core_tables(codes: np.ndarray, A: int):
+    """Run structure + rank tables straight from the BWT code sequence.
+
+    Mirrors what rle_string's streaming constructor extracts (rle_string.hpp:
+    44-97) as dense arrays: run starts/heads, per-run exclusive occ
+    checkpoints, the F array (BWT is a permutation of the text, so F comes
+    from BWT counts), and per-char run-id lists.
+    """
+    n = codes.shape[0]
+    change = np.flatnonzero(np.diff(codes) != 0) + 1
+    run_start = np.concatenate(([0], change)).astype(np.int64)
+    R = run_start.shape[0]
+    run_head = codes[run_start].astype(np.uint8)
+    run_len = np.diff(np.append(run_start, n))
+
+    # occ[A, R]: exclusive cumulative count of each code before each run start
+    occ = np.zeros((A, R), dtype=np.int64)
+    contrib = np.zeros((A, R), dtype=np.int64)
+    contrib[run_head, np.arange(R)] = run_len
+    occ[:, 1:] = np.cumsum(contrib, axis=1)[:, :-1]
+
+    counts = np.zeros(A + 1, dtype=np.int64)
+    counts[1:] = np.bincount(codes, minlength=A)
+    F = np.cumsum(counts)
+
+    # per-char run lists (ascending run id within each char)
+    order = np.argsort(run_head, kind="stable")
+    cruns_flat = order.astype(np.int64)
+    cruns_off = np.zeros(A + 1, dtype=np.int64)
+    cruns_off[1:] = np.cumsum(np.bincount(run_head.astype(np.int64), minlength=A))
+    return run_start, run_head, occ, F, cruns_flat, cruns_off
+
+
+def build_toehold_tables(run_head, samples_last, sfirst, A: int):
+    """Phi predecessor tables from per-run boundary samples (ToeholdSA::build_phi,
+    toehold_sa.hpp:105-131): sfirst[r] = (SA[run_start[r]]+n-1)%n in BWT run
+    order; samples_last[r] likewise at run ends."""
+    R = run_head.shape[0]
+    srt = np.argsort(sfirst, kind="stable")
+    pred_pos = sfirst[srt]
+    pred_to_run = srt.astype(np.int64)
+    # ltk[c, r]: samples_last of the last c-run at or before run r — the
+    # single-gather toehold table used by the batched LF_w_loc kernel.
+    ltk = np.zeros((A, R), dtype=np.int64)
+    rids = np.arange(R, dtype=np.int64)
+    for c in range(A):
+        marked = np.where(run_head == c, rids, -1)
+        last = np.maximum.accumulate(marked)
+        ltk[c] = np.where(last >= 0, samples_last[np.maximum(last, 0)], 0)
+    return pred_pos, pred_to_run, ltk
+
+
+def build_tk1_from_runs(codes, run_start, samples_last, A: int, dtype):
+    """Dense toehold tk1[c, i] = samples_last of the last c-run ENDING at or
+    before i.  Exactly matches the full-SA tk1 wherever the kernel reads it
+    (lf_step_w_loc_occ1 only consults tk1[c, hi] when BWT[hi] != c, in which
+    case the last c <= hi sits at a c-run end)."""
+    n = codes.shape[0]
+    R = run_start.shape[0]
+    run_end = np.append(run_start[1:], n) - 1
+    run_head = codes[run_start]
+    tk1 = np.zeros((A, n), dtype=dtype)
+    for c in range(A):
+        ends = run_end[run_head == c]
+        vals = samples_last[run_head == c]
+        mark = np.full(n, -1, dtype=np.int64)
+        mark[ends] = np.arange(ends.shape[0])
+        ff = np.maximum.accumulate(mark)
+        tk1[c] = np.where(ff >= 0, vals[np.maximum(ff, 0)], 0)
+    return tk1
+
+
 def build_index(
     text: np.ndarray,
     markers: Sequence[Marker] | None = None,
@@ -83,30 +155,8 @@ def build_index(
     alpha = Alphabet.from_text(text)
     codes = alpha.encode(bwt).astype(np.int64)  # all >= 0 by construction
     A = alpha.size
-
-    # runs
-    change = np.flatnonzero(np.diff(codes) != 0) + 1
-    run_start = np.concatenate(([0], change)).astype(np.int64)
+    run_start, run_head, occ, F, cruns_flat, cruns_off = core_tables(codes, A)
     R = run_start.shape[0]
-    run_head = codes[run_start].astype(np.uint8)
-    run_len = np.diff(np.append(run_start, n))
-
-    # occ[A, R]: exclusive cumulative count of each code before each run start
-    occ = np.zeros((A, R), dtype=np.int64)
-    contrib = np.zeros((A, R), dtype=np.int64)
-    contrib[run_head, np.arange(R)] = run_len
-    occ[:, 1:] = np.cumsum(contrib, axis=1)[:, :-1]
-
-    # F
-    counts = np.zeros(A + 1, dtype=np.int64)
-    counts[1:] = np.bincount(alpha.encode(text).astype(np.int64), minlength=A)
-    F = np.cumsum(counts)
-
-    # per-char run lists (ascending run id within each char)
-    order = np.argsort(run_head, kind="stable")
-    cruns_flat = order.astype(np.int64)
-    cruns_off = np.zeros(A + 1, dtype=np.int64)
-    cruns_off[1:] = np.cumsum(np.bincount(run_head.astype(np.int64), minlength=A))
 
     samples_last = pred_pos = pred_to_run = ltk = None
     if with_sa_samples:
@@ -115,17 +165,9 @@ def build_index(
         # value the reference stores (y-1 with 0 -> n-1, toehold_sa.hpp:133-155)
         samples_last = (sa[run_end] + n - 1) % n
         sfirst = (sa[run_start] + n - 1) % n
-        srt = np.argsort(sfirst)
-        pred_pos = sfirst[srt]
-        pred_to_run = srt.astype(np.int64)
-        # ltk[c, r]: samples_last of the last c-run at or before run r — the
-        # single-gather toehold table used by the batched LF_w_loc kernel.
-        ltk = np.zeros((A, R), dtype=np.int64)
-        rids = np.arange(R, dtype=np.int64)
-        for c in range(A):
-            marked = np.where(run_head == c, rids, -1)
-            last = np.maximum.accumulate(marked)
-            ltk[c] = np.where(last >= 0, samples_last[np.maximum(last, 0)], 0)
+        pred_pos, pred_to_run, ltk = build_toehold_tables(
+            run_head, samples_last, sfirst, A
+        )
 
     ma_row = ma_val = None
     if markers:

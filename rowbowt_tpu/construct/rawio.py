@@ -1,0 +1,183 @@
+"""Readers for the reference's raw pfbwt-f input formats + index assembly.
+
+These are the files `rb_build` consumes (produced by pfbwt-f64 / vcf_to_bwt.py,
+/root/reference/README.md:26-50):
+
+  <prefix>.bwt   plain BWT bytes; byte 0 is the terminator, remapped to 1 like
+                 rle_string's streaming ctor (rle_string.hpp:59-62)
+  <prefix>.ssa   u64 pairs (idx, val): SA sample at each run START; stored
+                 value = val-1 with 0 -> n-1 (toehold_sa.hpp:133-144)
+  <prefix>.esa   u64 pairs likewise at each run END (toehold_sa.hpp:146-155)
+  <prefix>.docs  text lines "name pos" (doclist.hpp:57-73)
+
+build_index_from_raw() assembles a full RbtIndex from these without ever
+seeing the text or a full suffix array — the toehold/phi tables come from the
+run-boundary samples alone, exactly like ToeholdSA(n, r, ssa, esa).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from rowbowt_tpu.alphabet import Alphabet
+from rowbowt_tpu.construct.build import (
+    OCC1_MAX_N,
+    build_dense_tables,
+    build_occ1,
+    build_tk1_from_runs,
+    build_toehold_tables,
+    core_tables,
+)
+from rowbowt_tpu.index import RbtIndex
+
+
+def read_bwt(path: str) -> np.ndarray:
+    """BWT bytes with the reference's 0 -> 1 terminator remap."""
+    bwt = np.fromfile(path, dtype=np.uint8)
+    bwt[bwt == 0] = 1
+    return bwt
+
+
+def read_sa_samples(path: str, n: int) -> np.ndarray:
+    """Second u64 of each 16-byte record, biased: val-1 with 0 -> n-1."""
+    raw = np.fromfile(path, dtype="<u8").reshape(-1, 2)
+    vals = raw[:, 1].astype(np.int64)
+    return np.where(vals == 0, n - 1, vals - 1)
+
+
+def read_docs(path: str) -> tuple[list[str], np.ndarray]:
+    names: list[str] = []
+    starts: list[int] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            names.append(parts[0])
+            starts.append(int(parts[1]))
+    return names, np.asarray(starts, dtype=np.int64)
+
+
+def write_raw(idx: RbtIndex, prefix: str) -> None:
+    """Emit the reference raw formats from an RbtIndex (round-trip / interop).
+
+    Inverts the readers: .bwt bytes (terminator byte written as 0), .ssa/.esa
+    u64 pairs with the +1 bias (n-1 -> 0), .docs text.
+    """
+    n = idx.n
+    R = idx.R
+    run_len = np.diff(np.append(idx.run_start, n))
+    bwt = np.repeat(idx.alpha.decode(idx.run_head.astype(np.int64)), run_len)
+    out = bwt.copy()
+    out[out == 1] = 0  # terminator byte back to pfbwt's 0
+    out.tofile(prefix + ".bwt")
+    if idx.samples_last is not None:
+        sfirst = np.empty(R, dtype=np.int64)
+        sfirst[idx.pred_to_run] = idx.pred_pos
+        for vals, suffix in ((sfirst, ".ssa"), (idx.samples_last, ".esa")):
+            y = np.where(vals == n - 1, 0, vals + 1).astype("<u8")
+            rec = np.empty((R, 2), dtype="<u8")
+            rec[:, 0] = np.arange(R, dtype=np.uint64)
+            rec[:, 1] = y
+            rec.tofile(prefix + suffix)
+    if idx.doc_names is not None:
+        with open(prefix + ".docs", "w") as f:
+            for name, pos in zip(idx.doc_names, idx.doc_starts):
+                f.write(f"{name} {int(pos)}\n")
+
+
+def build_index_from_bwt(
+    bwt: np.ndarray,
+    ssa: np.ndarray | None = None,
+    esa: np.ndarray | None = None,
+    doc_names: list[str] | None = None,
+    doc_starts: np.ndarray | None = None,
+    ma_row: np.ndarray | None = None,
+    ma_val: np.ndarray | None = None,
+    ma_wsize: int = 10,
+    ftab_k: int = 0,
+    dense: bool = True,
+) -> RbtIndex:
+    """RbtIndex from a BWT byte string + optional run-boundary SA samples.
+
+    Equivalent of construct_and_serialize_rowbowt (rowbowt_io.hpp:49-89): the
+    BWT itself provides runs/occ/F; .ssa/.esa provide locate support.
+    """
+    bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+    n = int(bwt.shape[0])
+    alpha = Alphabet.from_text(bwt)
+    codes = alpha.encode(bwt).astype(np.int64)
+    A = alpha.size
+    run_start, run_head, occ, F, cruns_flat, cruns_off = core_tables(codes, A)
+    R = run_start.shape[0]
+
+    samples_last = pred_pos = pred_to_run = ltk = None
+    if ssa is not None and esa is not None:
+        if ssa.shape[0] != R or esa.shape[0] != R:
+            raise ValueError(
+                f".ssa/.esa sample counts ({ssa.shape[0]}/{esa.shape[0]}) "
+                f"!= run count {R}"
+            )
+        samples_last = esa.astype(np.int64)
+        pred_pos, pred_to_run, ltk = build_toehold_tables(
+            run_head, samples_last, ssa.astype(np.int64), A
+        )
+
+    bwt4 = occ_blk = occ1 = tk1 = None
+    if dense and A <= 16:
+        bwt4, occ_blk = build_dense_tables(codes, A)
+        if n <= OCC1_MAX_N:
+            occ1 = build_occ1(codes, A)
+            if samples_last is not None:
+                tk1 = build_tk1_from_runs(codes, run_start, samples_last, A,
+                                          occ1.dtype)
+
+    idx = RbtIndex(
+        n=n,
+        alpha=alpha,
+        run_start=run_start,
+        run_head=run_head,
+        occ=occ,
+        F=F,
+        cruns_flat=cruns_flat,
+        cruns_off=cruns_off,
+        samples_last=samples_last,
+        pred_pos=pred_pos,
+        pred_to_run=pred_to_run,
+        ltk=ltk,
+        ma_row=ma_row,
+        ma_val=ma_val,
+        ma_wsize=ma_wsize,
+        doc_starts=doc_starts.astype(np.int64) if doc_starts is not None else None,
+        doc_names=doc_names,
+        bwt4=bwt4,
+        occ_blk=occ_blk,
+        occ1=occ1,
+        tk1=tk1,
+    )
+    if ftab_k:
+        from rowbowt_tpu.engine.naive import build_ftab_dense
+
+        idx.ftab = build_ftab_dense(idx, ftab_k)
+        idx.ftab_k = ftab_k
+    return idx
+
+
+def build_index_from_raw(prefix: str, with_sa: bool = True, with_docs: bool = True,
+                         ftab_k: int = 0, dense: bool = True) -> RbtIndex:
+    """rb_build's input contract: <prefix>.bwt [.ssa .esa] [.docs]."""
+    bwt = read_bwt(prefix + ".bwt")
+    n = int(bwt.shape[0])
+    ssa = esa = None
+    if with_sa and os.path.exists(prefix + ".ssa"):
+        ssa = read_sa_samples(prefix + ".ssa", n)
+        esa = read_sa_samples(prefix + ".esa", n)
+    doc_names = doc_starts = None
+    if with_docs and os.path.exists(prefix + ".docs"):
+        doc_names, doc_starts = read_docs(prefix + ".docs")
+    return build_index_from_bwt(
+        bwt, ssa, esa, doc_names=doc_names, doc_starts=doc_starts,
+        ftab_k=ftab_k, dense=dense,
+    )

@@ -1,0 +1,108 @@
+"""End-to-end CLI tests over the reference fixtures."""
+
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/tests/data"
+
+GOLDEN_COUNTS = """\
+r1.ref (24279,24280), count=2
+r1.sample0.0 (24175,24175), count=1
+r2.ref (27430,27432), count=3
+r2.sample0.0 (27430,27432), count=3
+r3.ref (17409,17409), count=1
+r3.sample0.0 (17416,17417), count=2
+"""
+
+GOLDEN_LOCS = {
+    "r1.ref": [20306, 286],
+    "r1.sample0.0": [10296],
+    "r2.ref": [11897, 21907, 1887],
+    "r2.sample0.0": [11897, 21907, 1887],
+    "r3.ref": [4644],
+    "r3.sample0.0": [14654, 24664],
+}
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory):
+    from rowbowt_tpu.cli import rbt_build
+
+    out = str(tmp_path_factory.mktemp("cli") / "small.idx")
+    rc = rbt_build.main([
+        "--fasta", f"{REF}/small.fa", "--vcf", f"{REF}/small.fa.vcf.gz",
+        "-s", "-m", "-l", "-f", "-k", "10", "-o", out,
+    ])
+    assert rc == 0
+    return out
+
+
+def test_align_counts(built_index, capsys):
+    from rowbowt_tpu.cli import rbt_align
+
+    assert rbt_align.main([built_index, f"{REF}/simple_query.fq"]) == 0
+    assert capsys.readouterr().out == GOLDEN_COUNTS
+
+
+def test_align_locate_markers(built_index, capsys):
+    from rowbowt_tpu.cli import rbt_align
+
+    assert rbt_align.main([built_index, f"{REF}/simple_query.fq", "-s", "-m"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    # 3 lines per read: count, locs, markers
+    assert len(out) == 18
+    for i, name in enumerate(GOLDEN_COUNTS.splitlines()):
+        rname = name.split()[0]
+        locs_line = out[3 * i + 1]
+        assert locs_line.startswith("\tlocs: ")
+        got = [int(x.split("/")[0]) for x in locs_line.split()[1:]]
+        assert got == GOLDEN_LOCS[rname], rname
+    # golden markers (tests/rb_tests.cpp:123-141): r1 pair hits pos 289,
+    # r3 pair hits pos 4650
+    assert "289/0" in out[2] and "289/1" in out[5]
+    assert "4650/0" in out[14] and "4650/1" in out[17]
+    assert "no markers" in out[8] and "no markers" in out[11]
+
+
+def test_markers_cli(built_index, capsys):
+    from rowbowt_tpu.cli import rbt_markers
+
+    assert rbt_markers.main([built_index, f"{REF}/error_query.fq",
+                             "-w", "10", "-r", "10000"]) == 0
+    out = [l for l in capsys.readouterr().out.splitlines()]
+    # every line: name range_size strand qstart qlen markers|.
+    assert all(len(l.split()) >= 6 for l in out)
+    strands = {l.split()[2] for l in out}
+    assert strands <= {"+", "-"}
+    # r1.sample0.0 carries marker 289 allele 1 (VCF row 1): present on some seed
+    r1s = [l for l in out if l.startswith("r1.sample0.0") and "/289/1" in l]
+    assert r1s, out[:8]
+
+
+def test_locs_cli(built_index, capsys, tmp_path):
+    from rowbowt_tpu.cli import rbt_locs
+
+    assert rbt_locs.main([built_index, f"{REF}/error_query.fq",
+                          "-w", "10", "-m", "4"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 6
+    assert all(l.split()[0].startswith(("r1", "r2", "r3")) for l in out)
+    # r1.sample0.0 locates at 10296 where hap0 carries 0/289/1
+    line = next(l for l in out if l.startswith("r1.sample0.0"))
+    assert "0/289/1" in line
+
+
+def test_midx_cli(tmp_path, capsys):
+    from rowbowt_tpu.cli import rbt_midx
+    from rowbowt_tpu.midx import PosMarkers
+
+    src = tmp_path / "markers.txt"
+    src.write_text("100 0 50 1\n200 1 60 0\n150 0 55 2\n")
+    out = str(tmp_path / "m.midx.npz")
+    assert rbt_midx.main([str(src), out]) == 0
+    pm = PosMarkers.load(out)
+    assert list(pm.pos) == [100, 150, 200]
+    got = pm.at_range(100, 160)
+    assert len(got) == 2

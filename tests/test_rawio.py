@@ -1,0 +1,41 @@
+"""Raw pfbwt-f format round-trip: panel-built index -> .bwt/.ssa/.esa/.docs ->
+rebuilt index must match on every table the query engines read."""
+
+import numpy as np
+
+from rowbowt_tpu.construct.rawio import build_index_from_raw, write_raw
+from rowbowt_tpu.engine import naive
+
+
+def test_raw_roundtrip(tiny_index, tmp_path):
+    idx = tiny_index
+    prefix = str(tmp_path / "small")
+    write_raw(idx, prefix)
+    idx2 = build_index_from_raw(prefix)
+
+    assert idx2.n == idx.n and idx2.R == idx.R
+    np.testing.assert_array_equal(idx2.alpha.bytes_, idx.alpha.bytes_)
+    for name in ("run_start", "run_head", "occ", "F", "samples_last",
+                 "pred_pos", "pred_to_run", "ltk", "occ1"):
+        np.testing.assert_array_equal(getattr(idx2, name), getattr(idx, name),
+                                      err_msg=name)
+    assert idx2.doc_names == idx.doc_names
+    np.testing.assert_array_equal(idx2.doc_starts, idx.doc_starts)
+    # tk1 may differ at positions where BWT[i] == c (never read there)
+    run_len = np.diff(np.append(idx.run_start, idx.n))
+    codes = np.repeat(idx.run_head.astype(np.int64), run_len)
+    for c in range(idx.alpha.size):
+        used = codes != c
+        np.testing.assert_array_equal(idx2.tk1[c][used], idx.tk1[c][used])
+
+
+def test_raw_rebuild_queries(tiny_index, tmp_path):
+    idx = tiny_index
+    prefix = str(tmp_path / "small")
+    write_raw(idx, prefix)
+    idx2 = build_index_from_raw(prefix)
+    q = "TATCTCCGCGATCTCCAACT"
+    codes = idx2.alpha.encode(np.frombuffer(q.encode(), np.uint8)).astype(np.int64)
+    assert naive.find_range(idx2, codes) == (24279, 24280)
+    rn, k = naive.find_range_w_toehold(idx2, codes)
+    assert naive.locate_range(idx2, *rn, k, 8) == [20306, 286]
