@@ -59,22 +59,59 @@ def main(argv=None):
     if args.overlap:
         eprint("overlapped seeds currently broken")  # rb_markers.cpp:121-124
         return 1
-    if args.lmem:
-        eprint("ERROR: --lmem batched engine not wired yet; use the library's "
-               "naive.get_markers_lmems or omit --lmem")
-        return 1
 
     t = Timer()
     eprint("loading rowbowt + markers" + (" and ftab" if args.ftab else ""))
-    idx = load_index(args.inpre, sa=False, ma=True, dl=False, ft=args.ftab)
+    idx = load_index(args.inpre, sa=False, ma=True, dl=False,
+                     ft=args.ftab or args.lmem)
     dx = device_index(idx)
     eprint(f"loading rowbowt + markers took: {t.lap()} seconds")
-
-    from rowbowt_tpu.engine.seeds import markers_greedy_seeding
 
     t = Timer()
     out = sys.stdout
     S, K = args.max_seeds, args.max_markers
+
+    def filter_and_print(name, seq, seeds_by_strand):
+        """Per-read filter pipeline (rb_markers.cpp:365-382 standard,
+        :440-463 + :504-506 heuristic) over [("+", seeds), ("-", seeds)]."""
+        read_len = args.read_len if args.heuristic else len(seq)
+        seeds = []
+        stopped = False
+        for _, ss in seeds_by_strand:
+            if stopped:
+                break
+            for ms in ss:
+                if args.heuristic:
+                    if ms.query_len < args.min_seed_length:
+                        continue  # heuristic out_fn drop (rb_markers.cpp:447)
+                    if args.clear_conflicting:
+                        ms.clear_if_conflicting(read_len)
+                    if args.clear_identical:
+                        ms.filter_identical_pos()
+                seeds.append(ms)
+                if args.heuristic and args.best_strand and heuristic_stop(
+                        ms, read_len, args.min_seed_length):
+                    stopped = True
+                    break
+        if args.heuristic:
+            if args.best_strand:
+                seeds = keep_seeds_best_strand(seeds)
+            if args.min_seed_length:
+                seeds = keep_seeds_by_len(seeds, args.min_seed_length)
+        for ms in seeds:
+            out.write(ms.print_buf() + "\n")
+
+    if args.lmem:
+        _run_lmem(args, idx, dx, K, filter_and_print)
+    else:
+        _run_greedy(args, idx, dx, S, K, filter_and_print)
+    eprint(f"counting markers took: {t.lap()} seconds")
+    return 0
+
+
+def _run_greedy(args, idx, dx, S, K, filter_and_print):
+    from rowbowt_tpu.engine.seeds import markers_greedy_seeding
+
     for recs, qc, lens in iter_query_batches(
         idx, args.fastq, args.batch_size, normalize=normalize_read, with_rc=True
     ):
@@ -86,41 +123,61 @@ def main(argv=None):
             ),
         )
         for ri, (name, seq, _) in enumerate(recs):
-            read_len = args.read_len if args.heuristic else len(seq)
-            lanes = ((2 * ri, "+"), (2 * ri + 1, "-"))
-            seeds = []
-            stopped = False
-            for lane, strand in lanes:
-                if stopped:
-                    break
-                ss = assemble_seeds(
+            per_strand = []
+            for lane, strand in ((2 * ri, "+"), (2 * ri + 1, "-")):
+                per_strand.append((strand, assemble_seeds(
                     name, strand, len(seq),
                     slo[lane], shi[lane], sqs[lane], sqe[lane],
                     mvals[lane], mcnt[lane], ns[lane],
                     min_range=args.min_range, max_k=K,
-                )
-                for ms in ss:
-                    if args.heuristic:
-                        if ms.query_len < args.min_seed_length:
-                            continue  # heuristic out_fn drop (rb_markers.cpp:447)
-                        if args.clear_conflicting:
-                            ms.clear_if_conflicting(read_len)
-                        if args.clear_identical:
-                            ms.filter_identical_pos()
-                    seeds.append(ms)
-                    if args.heuristic and args.best_strand and heuristic_stop(
-                            ms, read_len, args.min_seed_length):
-                        stopped = True
-                        break
-            if args.heuristic:
-                if args.best_strand:
-                    seeds = keep_seeds_best_strand(seeds)
-                if args.min_seed_length:
-                    seeds = keep_seeds_by_len(seeds, args.min_seed_length)
-            for ms in seeds:
-                out.write(ms.print_buf() + "\n")
-    eprint(f"counting markers took: {t.lap()} seconds")
-    return 0
+                )))
+            filter_and_print(name, seq, per_strand)
+
+
+def _run_lmem(args, idx, dx, K, filter_and_print):
+    """--lmem: one kernel lane per (read, strand, start offset) prefix; each
+    lane emits at most one seed (rowbowt.hpp:341-404)."""
+    from rowbowt_tpu.alphabet import revcomp
+    from rowbowt_tpu.cli.common import pow2_at_least
+    from rowbowt_tpu.engine.batch import encode_batch
+    from rowbowt_tpu.engine.filters import MarkerSeed, _u64
+    from rowbowt_tpu.engine.seeds import lmem_expand, markers_lmem_lanes
+    from rowbowt_tpu.index import pack_marker  # noqa: F401  (markers prepacked)
+    from rowbowt_tpu.io.fastq import batched, read_seqs
+
+    for recs in batched(read_seqs(args.fastq), args.batch_size):
+        strand_seqs = []   # (rec idx, strand, normalized seq)
+        for ri, (_, seq, _) in enumerate(recs):
+            s = normalize_read(seq)
+            strand_seqs.append((ri, "+", s))
+            strand_seqs.append((ri, "-", revcomp(s)))
+        lane_reads, owner, _ = lmem_expand([s.tobytes() for _, _, s in strand_seqs])
+        L = pow2_at_least(max((len(b) for b in lane_reads), default=1))
+        qc, lens = encode_batch(idx, lane_reads, pad_to=L)
+        elo, ehi, eqs, mvals, mcnt = map(
+            np.asarray,
+            markers_lmem_lanes(dx, qc, lens, wsize=args.wsize,
+                               max_range=args.max_range, max_k=K),
+        )
+        # group lanes back per (read, strand) in koff order
+        per_rec: dict[int, list] = {ri: [("+", []), ("-", [])] for ri in range(len(recs))}
+        for j, own in enumerate(owner):
+            ri, strand, s = strand_seqs[own]
+            if ehi[j] < elo[j]:
+                continue  # out_fn drops empty ranges
+            name = recs[ri][0]
+            qs, qe = int(eqs[j]), len(lane_reads[j]) - 1
+            query_start = len(s) - qs - 1 if strand == "-" else qs
+            markers: list[int] = []
+            rs = _u64(int(ehi[j]) - int(elo[j]) + 1)
+            if rs >= args.min_range and int(mcnt[j]) > 0:
+                markers = sorted({int(v) for v in mvals[j, : min(int(mcnt[j]), K)]
+                                  if v != -1})
+            ms = MarkerSeed(name, strand, rs, query_start,
+                            _u64(qe - qs + 1), markers)
+            per_rec[ri][0 if strand == "+" else 1][1].append(ms)
+        for ri, (name, seq, _) in enumerate(recs):
+            filter_and_print(name, seq, per_rec[ri])
 
 
 if __name__ == "__main__":

@@ -79,3 +79,79 @@ def resolve_docs(dx: DeviceIndex, locs):
     d = R.doc_of(dx, locs)
     off = locs - dx.arrays["doc_starts"][jnp.maximum(d, 0)]
     return d, off
+
+
+@partial(jax.jit, static_argnames=("wsize",))
+def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
+    """Batched RowBowt::find_range_w_toehold_chkpnts (rowbowt.hpp:575-611):
+    algorithmic checkpointing — record the (range, toehold) state every wsize
+    characters along the backward search.
+
+    Returns (clo, chi, ck, cqs, cqe) [B, C] and ncp [B] with C = L//wsize + 1.
+    Checkpoint j of lane b covers query span [cqs, cqe) with BWT range
+    (clo, chi) and toehold ck.  A failed full-read search returns ncp=0
+    (the reference clears the vector, rowbowt.hpp:586-589).
+    """
+    B, L = qcodes.shape
+    C = L // wsize + 1
+    dt = dx.idx_dtype
+    m = lengths.astype(dt)
+    lo = jnp.zeros(B, dtype=dt)
+    hi = jnp.full(B, dx.n - 1, dtype=dt)
+    k0 = (dx.arrays["samples_last"][dx.R - 1] + 1) % dx.n
+    k = jnp.full(B, k0, dtype=dt)
+    done = jnp.zeros(B, dtype=bool)
+    failed = jnp.zeros(B, dtype=bool)
+    window_ei = m
+    clo = jnp.full((B, C), 1, dtype=dt)
+    chi = jnp.zeros((B, C), dtype=dt)
+    ck = jnp.zeros((B, C), dtype=dt)
+    cqs = jnp.zeros((B, C), dtype=dt)
+    cqe = jnp.zeros((B, C), dtype=dt)
+    ncp = jnp.zeros(B, dtype=dt)
+    step = R.lf_step_w_loc_occ1 if "tk1_flat" in dx.arrays else R.lf_step_w_loc
+    rows = jnp.arange(B)
+
+    def put(arr, slot, mask, val):
+        return arr.at[rows, slot].set(jnp.where(mask, val, arr[rows, slot]))
+
+    def body(j, st):
+        lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp = st
+        c = qcodes[:, L - 1 - j].astype(dt)
+        active = (~done) & (j < m)
+        nlo, nhi, nk = step(dx, lo, hi, c, k)
+        fail = active & (nlo > nhi)
+        ok = active & ~fail
+        lo = jnp.where(ok, nlo, lo)
+        hi = jnp.where(ok, nhi, hi)
+        k = jnp.where(ok, nk, k)
+        done = done | fail
+        failed = failed | fail
+        # checkpoint trigger (rowbowt.hpp:595-600): window_ei-(m-i) >= wsize
+        trig = ok & (window_ei - (m - j) >= wsize)
+        slot = jnp.minimum(ncp, C - 1).astype(jnp.int32)
+        rec = trig & (ncp < C)
+        clo = put(clo, slot, rec, lo)
+        chi = put(chi, slot, rec, hi)
+        ck = put(ck, slot, rec, k)
+        cqs = put(cqs, slot, rec, m - j)
+        cqe = put(cqe, slot, rec, window_ei)
+        ncp = ncp + trig.astype(dt)
+        window_ei = jnp.where(trig, m - j, window_ei)
+        return lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp
+
+    st = (lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp)
+    (lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp
+     ) = jax.lax.fori_loop(0, L, body, st)
+    # final push (rowbowt.hpp:604-608)
+    fin = (~failed) & (hi >= lo) & ((m - 1) % wsize != 0) & (m > 0)
+    slot = jnp.minimum(ncp, C - 1).astype(jnp.int32)
+    rec = fin & (ncp < C)
+    clo = put(clo, slot, rec, lo)
+    chi = put(chi, slot, rec, hi)
+    ck = put(ck, slot, rec, k)
+    cqs = put(cqs, slot, rec, jnp.zeros_like(m))
+    cqe = put(cqe, slot, rec, m)
+    ncp = ncp + fin.astype(dt)
+    ncp = jnp.where(failed, 0, ncp)
+    return clo, chi, ck, cqs, cqe, ncp

@@ -428,3 +428,97 @@ def search_ftab(idx: RbtIndex, codes: np.ndarray):
     if v >= 0 and idx.ftab[v, 0] >= 0:
         return (int(idx.ftab[v, 0]), int(idx.ftab[v, 1])), idx.ftab_k
     return full_range(idx), 0
+
+
+def find_range_w_toehold_chkpnts(idx: RbtIndex, codes: np.ndarray, wsize: int) -> list[LFData]:
+    """RowBowt::find_range_w_toehold_chkpnts (rowbowt.hpp:575-611)."""
+    lfs: list[LFData] = []
+    if idx.samples_last is None:
+        return lfs
+    m = len(codes)
+    window_ei = m
+    rn = full_range(idx)
+    k = last_run_sample(idx)
+    i = 0
+    for i in range(m):
+        rn, k = lf_w_loc(idx, rn, int(codes[m - i - 1]), k)
+        if rn[1] < rn[0]:
+            return []
+        if window_ei - (m - i) >= wsize:
+            lfs.append(LFData(rn=rn, qstart=m - i, qend=window_ei, ssamp=k))
+            window_ei = m - i
+    if rn[1] >= rn[0] and (m - 1) % wsize != 0:
+        lfs.append(LFData(rn=rn, qstart=0, qend=m, ssamp=k))
+    return lfs
+
+
+def get_markers_greedy_overlap_seeding(idx, codes, wsize, max_range, fn,
+                                       max_steps: int | None = None):
+    """RowBowt::get_markers_greedy_overlap_seeding (rowbowt.hpp:485-551).
+
+    On seed failure the restart kmer OVERLAPS the failed seed (i is rewound by
+    ftab k-1).  NB the reference routine can livelock when the rewound scan
+    cannot reach a kmer probe (e.g. an absent char among the first k-1 query
+    chars) — one reason rb_markers hard-disables it (rb_markers.cpp:121-124).
+    We guard with max_steps (default 4*m + 16) and raise instead of looping.
+    """
+    if idx.ftab is None:
+        raise ValueError("ftab required for this function")
+    k = idx.ftab_k
+    if k - 1 > wsize:
+        raise ValueError("wsize cannot be less than ftab k-1")
+    m = len(codes)
+    prev = full_range(idx)
+    rn = full_range(idx)
+    i = 0
+    if m >= k:
+        rn, i = search_ftab(idx, codes[m - k:])
+        prev = rn
+    window_ei, seed_ei = m, m
+    mbuf: list = []
+    steps = 0
+    budget = max_steps if max_steps is not None else 4 * m + 16
+
+    def update_mbuf(r):
+        nonlocal mbuf
+        if r[1] - r[0] + 1 <= max_range:
+            mbuf = mbuf + list(markers_at_range(idx, r[0], r[1]))
+
+    while i < m:
+        steps += 1
+        if steps > budget:
+            raise RuntimeError(
+                "overlap seeding livelocked (reference-inherited pathology)")
+        rn = lf_range(idx, rn, int(codes[m - i - 1]))
+        if rn[1] < rn[0]:
+            if seed_ei - (m - i) >= wsize:
+                update_mbuf(prev)
+            fn(prev, (m - i, seed_ei - 1), mbuf)
+            mbuf = []
+            prev = full_range(idx)
+            i = i + 1 - k if i + 1 >= k else i  # overlap rewind (rowbowt.hpp:519)
+            seed_ei = m - i - 1
+            window_ei = m - i - 1
+            if m - i - 1 >= k:
+                while m - i - 1 >= k:
+                    seed_ei = m - i - 1
+                    window_ei = m - i - 1
+                    rn, _ = search_ftab(idx, codes[m - i - 1 - k: m - i - 1])
+                    if rn[0] <= rn[1]:
+                        i += k
+                        prev = rn
+                        break
+                    rn = full_range(idx)
+                    i += 1
+            else:
+                rn = full_range(idx)
+        else:
+            if window_ei - (m - i - 1) >= wsize:
+                update_mbuf(rn)
+                window_ei = m - i - 1
+            prev = rn
+        i += 1
+
+    if seed_ei - (m - i) >= wsize:
+        update_mbuf(rn)
+    fn(rn, (m - i, seed_ei - 1), mbuf)

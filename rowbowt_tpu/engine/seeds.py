@@ -330,3 +330,123 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     mcnt = _scatter_rows(mcnt, slot, rec, ctot)
     ns = ns + emit.astype(dt)
     return slo, shi, sqs, sqe, mvals, mcnt, ns
+
+
+@partial(jax.jit, static_argnames=("wsize", "max_range", "max_k"))
+def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
+                       max_range: int = 1 << 62, max_k: int = 16):
+    """Batched RowBowt::get_markers_lmems inner loop (rowbowt.hpp:341-404).
+
+    One lane = one (read, start offset) pair: the caller expands a read of
+    length m into m lanes holding its length-(m-k) prefixes (lmem_expand).
+    Each lane runs ONE backward search until failure and emits exactly one
+    nonempty seed — the failing prev_range or the completed final range (the
+    reference's second fn call on the failure path passes an empty range and
+    is dropped by out_fn, rb_markers.cpp:373).
+
+    Requires the ftab (the reference exits without it, rowbowt.hpp:346-349);
+    a missing kmer yields the full range (search_ftab miss quirk) like the
+    reference.  Returns (elo, ehi, eqs [B], mvals [B, K], mcnt [B]); the seed
+    query span is (eqs, m-1).
+    """
+    B, L = qcodes.shape
+    K = max_k
+    dt = dx.idx_dtype
+    if not (dx.has_ftab and dx.ftab_k > 0):
+        raise ValueError("ftab must be enabled! (rowbowt.hpp:346-349)")
+    ftk = dx.ftab_k
+    if ftk - 1 > wsize:
+        raise ValueError("wsize cannot be less than ftab k-1 (rowbowt.hpp:350-353)")
+    m = lengths.astype(dt)
+    max_range = jnp.asarray(min(int(max_range), int(jnp.iinfo(dt).max)), dtype=dt)
+
+    lo = jnp.zeros(B, dtype=dt)
+    hi = jnp.full(B, dx.n - 1, dtype=dt)
+    i = jnp.zeros(B, dtype=dt)
+    if L >= ftk:
+        kc = R.kmer_codes(dx, qcodes[:, L - ftk:])
+        flo, fhi, hit = R.ftab_lookup(dx, kc)
+        # search_ftab misses return the full range; the ftab jump happens for
+        # every lane with m >= k (rowbowt.hpp:369-377)
+        jump = m >= ftk
+        use = jump & hit
+        lo = jnp.where(use, flo.astype(dt), lo)
+        hi = jnp.where(use, fhi.astype(dt), hi)
+        i = jnp.where(jump, ftk, 0).astype(dt)
+    plo, phi_ = lo, hi
+    window_ei = m
+    done = jnp.zeros(B, dtype=bool)
+    cbuf = jnp.full((B, K), -1, dtype=jnp.int64)
+    cused = jnp.zeros(B, dtype=dt)
+    ctot = jnp.zeros(B, dtype=dt)
+    elo = jnp.full(B, 1, dtype=dt)
+    ehi = jnp.zeros(B, dtype=dt)
+    eqs = jnp.zeros(B, dtype=dt)
+
+    if "occ1_flat" in dx.arrays:
+        lf = R.lf_step_occ1
+    elif dx.has_dense:
+        lf = R.lf_step_dense
+    else:
+        lf = R.lf_step
+
+    def probe(tlo, thi, do, cbuf, cused, ctot):
+        small = (thi - tlo + 1) <= max_range
+        go = do & small
+        vals, cnt = R.markers_at_range(
+            dx, jnp.where(go, tlo, 1), jnp.where(go, thi, 0), K
+        )
+        cnt = jnp.where(go, cnt, 0).astype(dt)
+        cbuf, cused = _append_left(cbuf, cused, vals, cnt)
+        return cbuf, cused, ctot + cnt
+
+    def body(_, st):
+        lo, hi, plo, phi_, i, window_ei, done, cbuf, cused, ctot, elo, ehi, eqs = st
+        active = (~done) & (i < m)
+        col = jnp.clip(L - 1 - i, 0, L - 1).astype(qcodes.dtype)
+        c = jnp.take_along_axis(qcodes, col[:, None], axis=1)[:, 0].astype(dt)
+        nlo, nhi = lf(dx, lo, hi, c)
+        fail = active & (nlo > nhi)
+        ok = active & ~fail
+        # failure: probe prev if i >= wsize, emit (prev, (m-i, m-1)), stop
+        f_probe = fail & (i >= wsize)
+        w_trigger = ok & (window_ei - (m - i - 1) >= wsize)
+        tlo = jnp.where(fail, lo, nlo)   # prev_range is pre-LF state
+        thi = jnp.where(fail, hi, nhi)
+        cbuf, cused, ctot = probe(tlo, thi, f_probe | w_trigger, cbuf, cused, ctot)
+        window_ei = jnp.where(w_trigger, m - i - 1, window_ei)
+        elo = jnp.where(fail, lo, elo)
+        ehi = jnp.where(fail, hi, ehi)
+        eqs = jnp.where(fail, m - i, eqs)
+        done = done | fail
+        lo = jnp.where(ok, nlo, lo)
+        hi = jnp.where(ok, nhi, hi)
+        i = jnp.where(active, i + 1, i)
+        return lo, hi, plo, phi_, i, window_ei, done, cbuf, cused, ctot, elo, ehi, eqs
+
+    st = (lo, hi, plo, phi_, i, window_ei, done, cbuf, cused, ctot, elo, ehi, eqs)
+    (lo, hi, plo, phi_, i, window_ei, done, cbuf, cused, ctot, elo, ehi, eqs
+     ) = jax.lax.fori_loop(0, L, body, st)
+    # lanes that completed without failure: final probe + emit (rowbowt.hpp:399-403)
+    fin = ~done
+    f_probe = fin & (hi >= lo) & (i >= wsize) & (m > 0)
+    cbuf, cused, ctot = probe(lo, hi, f_probe, cbuf, cused, ctot)
+    elo = jnp.where(fin, lo, elo)
+    ehi = jnp.where(fin, hi, ehi)
+    eqs = jnp.where(fin, m - i, eqs)
+    return elo, ehi, eqs, cbuf, ctot
+
+
+def lmem_expand(reads):
+    """Expand reads into per-start-offset prefix lanes for markers_lmem_lanes.
+
+    Returns (lane_reads, owner, koff): lane j holds reads[owner[j]][: len - koff[j]]
+    in ascending koff order per read (the reference's outer k loop)."""
+    lane_reads, owner, koff = [], [], []
+    for r, b in enumerate(reads):
+        mfull = len(b)
+        for k in range(mfull):
+            lane_reads.append(b[: mfull - k])
+            owner.append(r)
+            koff.append(k)
+    return lane_reads, owner, koff

@@ -106,3 +106,15 @@ def test_midx_cli(tmp_path, capsys):
     assert list(pm.pos) == [100, 150, 200]
     got = pm.at_range(100, 160)
     assert len(got) == 2
+
+
+def test_markers_cli_lmem(built_index, capsys):
+    from rowbowt_tpu.cli import rbt_markers
+
+    assert rbt_markers.main([built_index, f"{REF}/error_query.fq",
+                             "-w", "10", "-r", "10000", "--lmem",
+                             "-b", "16"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out and all(len(l.split()) >= 6 for l in out)
+    r1s = [l for l in out if l.startswith("r1.sample0.0") and "/289/1" in l]
+    assert r1s, out[:8]

@@ -123,3 +123,86 @@ def test_markers_greedy_seeding(tiny_index_ftab, use_ftab):
             got_m = [int(x) for x in mvals[b, s, : min(mcnt[b, s], K)]]
             assert got_m == mk[:K], (b, s)
             assert mcnt[b, s] == len(mk), (b, s)
+
+
+def test_markers_lmem(tiny_index_ftab):
+    from rowbowt_tpu.engine.seeds import lmem_expand, markers_lmem_lanes
+
+    idx = tiny_index_ftab
+    rng = np.random.default_rng(5)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    with open("/root/reference/tests/data/small.fa") as f:
+        seq = "".join(l.strip() for l in f if not l.startswith(">"))
+    reads = []
+    for _ in range(8):
+        L = int(rng.integers(15, 30))
+        p = int(rng.integers(0, len(seq) - L))
+        r = bytearray(seq[p:p + L].encode())
+        if rng.random() < 0.6:
+            r[int(rng.integers(0, L))] = int(rng.choice(acgt))
+        reads.append(bytes(r))
+
+    lanes, owner, koff = lmem_expand(reads)
+    dx = DeviceIndex.from_index(idx)
+    qc, lens = encode_batch(idx, lanes)
+    K = 16
+    elo, ehi, eqs, mvals, mcnt = map(
+        np.asarray, markers_lmem_lanes(dx, qc, lens, wsize=10, max_k=K)
+    )
+    for b, r in enumerate(reads):
+        codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+        want = []
+        naive.get_markers_lmems(
+            idx, codes, 10, 1 << 62,
+            lambda rn, q, mk: want.append((tuple(rn), tuple(q),
+                                           [int(x) for x in mk])),
+        )
+        # keep only nonempty-range fn calls (out_fn contract)
+        want = [w for w in want if w[0][1] >= w[0][0]]
+        got = []
+        for j in range(len(lanes)):
+            if owner[j] != b:
+                continue
+            if ehi[j] >= elo[j]:
+                mlane = len(lanes[j])
+                got.append(((int(elo[j]), int(ehi[j])),
+                            (int(eqs[j]), mlane - 1),
+                            [int(v) for v in mvals[j, : min(int(mcnt[j]), K)]],
+                            int(mcnt[j])))
+        want = [(rn, q, mk[:K], len(mk)) for rn, q, mk in want]
+        assert got == want, (b, got[:3], want[:3])
+
+
+def test_toehold_chkpnts(batch):
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold_chkpnts
+
+    idx, reads = batch
+    dx = DeviceIndex.from_index(idx)
+    qc, lens = encode_batch(idx, reads)
+    wsize = 7
+    clo, chi, ck, cqs, cqe, ncp = map(
+        np.asarray, find_ranges_w_toehold_chkpnts(dx, qc, lens, wsize=wsize)
+    )
+    C = clo.shape[1]
+    for b, r in enumerate(reads):
+        codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+        want = naive.find_range_w_toehold_chkpnts(idx, codes, wsize)
+        assert ncp[b] == len(want), b
+        for j, lfd in enumerate(want[:C]):
+            assert (clo[b, j], chi[b, j]) == lfd.rn, (b, j)
+            assert (cqs[b, j], cqe[b, j]) == (lfd.qstart, lfd.qend), (b, j)
+            assert ck[b, j] == lfd.ssamp, (b, j)
+
+
+def test_overlap_seeding_runs(tiny_index_ftab):
+    """Overlap seeding (reference-disabled) at least runs and emits seeds on
+    clean reads; livelock pathology raises instead of hanging."""
+    idx = tiny_index_ftab
+    with open("/root/reference/tests/data/small.fa") as f:
+        seq = "".join(l.strip() for l in f if not l.startswith(">"))
+    codes = idx.alpha.encode(
+        np.frombuffer(seq[1000:1060].encode(), np.uint8)).astype(np.int64)
+    out = []
+    naive.get_markers_greedy_overlap_seeding(
+        idx, codes, 10, 1 << 62, lambda rn, q, mk: out.append((rn, q, list(mk))))
+    assert out and out[-1][1][0] == 0
