@@ -185,11 +185,55 @@ def main():
         assert (outs0[0][:ncpu] == clo[:BATCH]).all(), "accel != cpu baseline"
         vs = tpu_rps / cpu_rps
 
+    # secondary metrics (stderr): locate and windowed-marker throughput on one
+    # batch each — BASELINE.md configs 2 and 3
+    try:
+        from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
+        from rowbowt_tpu.engine.markers import find_ranges_w_markers
+
+        qb, lb = qc3[0], len2[0]
+
+        @jax.jit
+        def loc_all(dx, qc, ln, salt):
+            lo, hi, k = find_ranges_w_toehold(dx, qc, ln + salt - salt)
+            locs, cnt = locate(dx, lo, hi, k, max_hits=4)
+            return locs, jax.numpy.sum(cnt) + jax.numpy.sum(locs)
+
+        _ = int(loc_all(dx, qb, lb, 0)[1])
+        tl = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            _ = int(loc_all(dx, qb, lb, rep + 1)[1])
+            tl = min(tl, time.perf_counter() - t0)
+        print(f"locate: {BATCH:,} reads in {tl:.3f}s -> {BATCH/tl:,.0f} reads/s",
+              file=sys.stderr)
+
+        @jax.jit
+        def mk_all(dx, qc, ln, salt):
+            lo, hi, buf, used, ovf = find_ranges_w_markers(
+                dx, qc, ln + salt - salt, wsize=10, max_range=1000, max_k=16)
+            return jax.numpy.sum(used) + jax.numpy.sum(lo)
+
+        _ = int(mk_all(dx, qb, lb, 0))
+        tm = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            _ = int(mk_all(dx, qb, lb, rep + 1))
+            tm = min(tm, time.perf_counter() - t0)
+        print(f"markers: {BATCH:,} reads in {tm:.3f}s -> {BATCH/tm:,.0f} reads/s",
+              file=sys.stderr)
+        extra = {"locate_reads_per_s": round(BATCH / tl, 1),
+                 "markers_reads_per_s": round(BATCH / tm, 1)}
+    except Exception as e:  # secondary metrics must never sink the headline
+        print(f"bench: secondary metrics failed: {e!r}", file=sys.stderr)
+        extra = {}
+
     print(json.dumps({
         "metric": "count_reads_per_s_chip",
         "value": round(tpu_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        **extra,
     }))
     sys.stdout.flush()
     sys.stderr.flush()

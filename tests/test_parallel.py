@@ -61,3 +61,32 @@ def test_sharded_matches_naive(rand_index):
     for b, r in enumerate(reads):
         codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
         assert (lo[b], hi[b]) == naive.find_range(idx, codes), (b, r)
+
+
+def test_sharded_toehold_locate(rand_index):
+    from rowbowt_tpu.parallel.sharded import (
+        find_ranges_w_toehold_sharded, locate_sharded,
+    )
+
+    idx, text = rand_index
+    rng = np.random.default_rng(9)
+    reads = []
+    for _ in range(16):
+        L = int(rng.integers(5, 30))
+        p = int(rng.integers(0, len(text) - L))
+        reads.append(bytes(text[p:p + L]))
+    mesh = make_mesh(n_dp=2, n_idx=4)
+    sidx = ShardedIndex.build(idx, n_idx=4)
+    tables = sidx.device_put(mesh)
+    qc, lens = encode_batch(idx, reads)
+    lo, hi, k = find_ranges_w_toehold_sharded(mesh, sidx, tables, qc, lens)
+    locs, cnt = locate_sharded(mesh, sidx, tables, lo, hi, k, max_hits=6)
+    lo, hi, k, locs, cnt = map(np.asarray, (lo, hi, k, locs, cnt))
+    for b, r in enumerate(reads):
+        codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+        wrn, wk = naive.find_range_w_toehold(idx, codes)
+        assert (lo[b], hi[b]) == wrn, b
+        if wrn[1] >= wrn[0]:
+            assert k[b] == wk, b
+            assert [int(x) for x in locs[b, : cnt[b]]] == \
+                naive.locate_range(idx, *wrn, wk, 6), b
