@@ -185,8 +185,29 @@ def main():
         assert (outs0[0][:ncpu] == clo[:BATCH]).all(), "accel != cpu baseline"
         vs = tpu_rps / cpu_rps
 
+    headline = {
+        "metric": "count_reads_per_s_chip",
+        "value": round(tpu_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }
     # secondary metrics (stderr): locate and windowed-marker throughput on one
-    # batch each — BASELINE.md configs 2 and 3
+    # batch each — BASELINE.md configs 2 and 3.  Their compiles are fresh
+    # programs and the tunnel's remote compile sometimes hangs inside a C call
+    # (uninterruptible by signals), so a watchdog thread hard-exits with the
+    # headline JSON if they take too long.
+    import threading
+
+    def _bail():
+        print("bench: secondary metrics watchdog fired", file=sys.stderr)
+        print(json.dumps(headline))
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    watchdog = threading.Timer(90, _bail)
+    watchdog.daemon = True
+    watchdog.start()
     try:
         from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
         from rowbowt_tpu.engine.markers import find_ranges_w_markers
@@ -227,14 +248,9 @@ def main():
     except Exception as e:  # secondary metrics must never sink the headline
         print(f"bench: secondary metrics failed: {e!r}", file=sys.stderr)
         extra = {}
+    watchdog.cancel()
 
-    print(json.dumps({
-        "metric": "count_reads_per_s_chip",
-        "value": round(tpu_rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
-        **extra,
-    }))
+    print(json.dumps({**headline, **extra}))
     sys.stdout.flush()
     sys.stderr.flush()
     # the TPU tunnel's runtime teardown can hang at interpreter exit; results

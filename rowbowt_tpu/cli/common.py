@@ -51,15 +51,29 @@ def device_index(idx: RbtIndex):
 
 
 def iter_query_batches(idx: RbtIndex, fastq: str, batch_size: int,
-                       normalize=None, with_rc: bool = False):
-    """Yield (records, qcodes, lengths) per batch; with_rc interleaves each
-    read's forward and reverse-complement as adjacent lanes (2B total)."""
-    from rowbowt_tpu.alphabet import revcomp
+                       normalize: bool = False, with_rc: bool = False,
+                       use_native: bool = True, max_read_len: int = 1024):
+    """Yield (names, qcodes, lengths) per batch; with_rc interleaves each
+    read's forward and reverse-complement as adjacent lanes (2B total).
+    Lane counts are padded to the fixed batch size (pad lanes have length 0)
+    so jit compiles once per L bucket.  Uses the native C++ reader/encoder
+    (native/fastq_reader.cpp) when built, else the Python fallback."""
+    from rowbowt_tpu.io.fastq import NativeBatchReader
+
+    if use_native and NativeBatchReader.available():
+        yield from NativeBatchReader(
+            fastq, idx.alpha.encode_table(), batch_size, with_rc=with_rc,
+            normalize=normalize, max_read_len=max_read_len,
+        )
+        return
+
+    from rowbowt_tpu.alphabet import normalize_read, revcomp
 
     for recs in batched(read_seqs(fastq), batch_size):
+        names = [name for name, _, _ in recs]
         seqs = []
         for _, seq, _ in recs:
-            s = normalize(seq) if normalize is not None else np.frombuffer(seq, np.uint8)
+            s = normalize_read(seq) if normalize else np.frombuffer(seq, np.uint8)
             seqs.append(s)
             if with_rc:
                 seqs.append(revcomp(s))
@@ -68,4 +82,4 @@ def iter_query_batches(idx: RbtIndex, fastq: str, batch_size: int,
         seqs += [np.empty(0, np.uint8)] * (full - len(seqs))
         L = pow2_at_least(max((len(s) for s in seqs), default=1))
         qc, lens = encode_batch(idx, [s.tobytes() for s in seqs], pad_to=L)
-        yield recs, qc, lens
+        yield names, qc, lens

@@ -48,7 +48,7 @@ def main(argv=None):
 
     out = sys.stdout
     t_query = Timer()
-    for recs, qc, lens in iter_query_batches(idx, args.fastq, args.batch_size):
+    for names, qc, lens in iter_query_batches(idx, args.fastq, args.batch_size):
         if args.sam:
             lo, hi, k = find_ranges_w_toehold(dx, qc, lens)
         else:
@@ -67,7 +67,7 @@ def main(argv=None):
             mvals, mcnt = markers_for_ranges(dx, lo, hi, max_k=64)
             mvals, mcnt = np.asarray(mvals), np.asarray(mcnt)
 
-        for b, (name, _, _) in enumerate(recs):
+        for b, name in enumerate(names):
             s, e = int(lo_h[b]), int(hi_h[b])
             cnt = e - s + 1 if e >= s else 0  # (1,0) -> 0 (rb_align.cpp:122)
             out.write(f"{name} ({s},{e}), count={cnt}\n")

@@ -41,17 +41,17 @@ def main(argv=None):
     from rowbowt_tpu.engine.seeds import locate_from_longest_seed, seeds_greedy_w_sample
 
     out = sys.stdout
-    for recs, qc, lens in iter_query_batches(idx, args.fastq, args.batch_size):
+    for names, qc, lens in iter_query_batches(idx, args.fastq, args.batch_size):
         res = seeds_greedy_w_sample(dx, qc, lens, min_length=args.wsize)
         locs, cnt = map(
             np.asarray,
             locate_from_longest_seed(dx, *res, max_hits=args.max_hits),
         )
-        for b, (name, seq, _) in enumerate(recs):
+        for b, name in enumerate(names):
             parts = [name]
             for j in range(int(cnt[b])):
                 l = int(locs[b, j])
-                for m in midx.at_range(l, l + len(seq) - 1):
+                for m in midx.at_range(l, l + int(lens[b]) - 1):
                     m = np.int64(m)
                     parts.append(
                         f" {int(marker_seq(m))}/{int(marker_pos(m))}/"

@@ -71,10 +71,10 @@ def main(argv=None):
     out = sys.stdout
     S, K = args.max_seeds, args.max_markers
 
-    def filter_and_print(name, seq, seeds_by_strand):
+    def filter_and_print(name, seq_len, seeds_by_strand):
         """Per-read filter pipeline (rb_markers.cpp:365-382 standard,
         :440-463 + :504-506 heuristic) over [("+", seeds), ("-", seeds)]."""
-        read_len = args.read_len if args.heuristic else len(seq)
+        read_len = args.read_len if args.heuristic else seq_len
         seeds = []
         stopped = False
         for _, ss in seeds_by_strand:
@@ -112,8 +112,8 @@ def main(argv=None):
 def _run_greedy(args, idx, dx, S, K, filter_and_print):
     from rowbowt_tpu.engine.seeds import markers_greedy_seeding
 
-    for recs, qc, lens in iter_query_batches(
-        idx, args.fastq, args.batch_size, normalize=normalize_read, with_rc=True
+    for names, qc, lens in iter_query_batches(
+        idx, args.fastq, args.batch_size, normalize=True, with_rc=True
     ):
         slo, shi, sqs, sqe, mvals, mcnt, ns = map(
             np.asarray,
@@ -122,16 +122,17 @@ def _run_greedy(args, idx, dx, S, K, filter_and_print):
                 max_seeds=S, max_k=K, use_ftab=args.ftab,
             ),
         )
-        for ri, (name, seq, _) in enumerate(recs):
+        for ri, name in enumerate(names):
+            rl = int(lens[2 * ri])
             per_strand = []
             for lane, strand in ((2 * ri, "+"), (2 * ri + 1, "-")):
                 per_strand.append((strand, assemble_seeds(
-                    name, strand, len(seq),
+                    name, strand, rl,
                     slo[lane], shi[lane], sqs[lane], sqe[lane],
                     mvals[lane], mcnt[lane], ns[lane],
                     min_range=args.min_range, max_k=K,
                 )))
-            filter_and_print(name, seq, per_strand)
+            filter_and_print(name, rl, per_strand)
 
 
 def _run_lmem(args, idx, dx, K, filter_and_print):
@@ -177,7 +178,7 @@ def _run_lmem(args, idx, dx, K, filter_and_print):
                             _u64(qe - qs + 1), markers)
             per_rec[ri][0 if strand == "+" else 1][1].append(ms)
         for ri, (name, seq, _) in enumerate(recs):
-            filter_and_print(name, seq, per_rec[ri])
+            filter_and_print(name, len(seq), per_rec[ri])
 
 
 if __name__ == "__main__":
