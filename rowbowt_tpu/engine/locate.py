@@ -155,3 +155,12 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     ncp = ncp + fin.astype(dt)
     ncp = jnp.where(failed, 0, ncp)
     return clo, chi, ck, cqs, cqe, ncp
+
+
+@partial(jax.jit, static_argnames=("max_hits",))
+def find_locs(dx: DeviceIndex, qcodes, lengths, max_hits: int):
+    """Batched RowBowt::find_locs (rowbowt.hpp:627-631): whole-read toehold
+    search + phi-walk locate in one call."""
+    lo, hi, k = find_ranges_w_toehold(dx, qcodes, lengths)
+    locs, cnt = locate(dx, lo, hi, k, max_hits=max_hits)
+    return lo, hi, locs, cnt
