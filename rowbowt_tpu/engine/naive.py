@@ -522,3 +522,26 @@ def get_markers_greedy_overlap_seeding(idx, codes, wsize, max_range, fn,
     if seed_ei - (m - i) >= wsize:
         update_mbuf(rn)
     fn(rn, (m - i, seed_ei - 1), mbuf)
+
+
+def get_seeds_greedy(idx: RbtIndex, codes: np.ndarray, min_length: int) -> list[LFData]:
+    """RowBowt::get_seeds_greedy (rowbowt.hpp:191-215): like the _w_sample
+    variant but without toehold tracking, and the final seed is pushed
+    UNconditionally (no min_length gate on the tail, rowbowt.hpp:212)."""
+    out: list[LFData] = []
+    m = len(codes)
+    rn = full_range(idx)
+    prev = full_range(idx)
+    ei = m
+    for i in range(m):
+        rn = lf_range(idx, rn, int(codes[m - i - 1]))
+        if rn[1] < rn[0]:
+            if ei - (m - i) >= min_length:
+                out.append(LFData(rn=prev, qstart=m - i, qend=ei))
+            rn = full_range(idx)
+            prev = full_range(idx)
+            ei = m - i - 1
+        else:
+            prev = rn
+    out.append(LFData(rn=prev, qstart=0, qend=ei))
+    return out

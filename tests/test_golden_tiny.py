@@ -105,3 +105,15 @@ def test_doclist(tiny_index):
     assert name == "ref" and off == 286
     name, off = naive.resolve_offset(tiny_index, 10296)
     assert off == 286
+
+
+def test_get_seeds_greedy_plain(tiny_index):
+    """Plain greedy seeds (no toehold): tail seed pushed unconditionally."""
+    from rowbowt_tpu.engine import naive
+
+    idx = tiny_index
+    codes = np.full(7, 2, dtype=np.int64)  # short poly-A-ish junk read
+    out = naive.get_seeds_greedy(idx, codes, min_length=100)
+    assert out and out[-1].qstart == 0  # unconditional tail (rowbowt.hpp:212)
+    out2 = naive.get_seeds_greedy_w_sample(idx, codes, min_length=100)
+    assert out2 == []  # the _w_sample variant gates the tail
