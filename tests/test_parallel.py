@@ -90,3 +90,24 @@ def test_sharded_toehold_locate(rand_index):
             assert k[b] == wk, b
             assert [int(x) for x in locs[b, : cnt[b]]] == \
                 naive.locate_range(idx, *wrn, wk, 6), b
+
+
+def test_multihost_single_process_path(tiny_index):
+    """multihost harness degenerates correctly to 1 process on the CPU mesh."""
+    from rowbowt_tpu.parallel import multihost as mh
+
+    mh.init(num_processes=1)
+    mesh = mh.global_mesh(n_idx=1)
+    assert mesh.shape["dp"] == 8
+    dx = replicate_index(mesh, DeviceIndex.from_index(tiny_index))
+    qc, lens = encode_batch(tiny_index, SIMPLE_READS)
+    qc, lens, B = pad_batch_to(qc, lens, 8)
+    gqc = mh.host_batch_to_global(mesh, qc)
+    glen = mh.host_batch_to_global(mesh, lens)
+    lo, hi = find_ranges(dx, gqc, glen)
+    lo0 = mh.gather_to_host0(lo)[:B]
+    hi0 = mh.gather_to_host0(hi)[:B]
+    want = [(24279, 24280), (24175, 24175), (27430, 27432),
+            (27430, 27432), (17409, 17409), (17416, 17417)]
+    assert [(int(a), int(b)) for a, b in zip(lo0, hi0)] == want
+    assert mh.is_host0()
