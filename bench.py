@@ -263,7 +263,7 @@ def _parent():
     processes; a new process usually succeeds.  Retry the measurement in a
     subprocess with a hard timeout until a JSON line appears."""
     env = dict(os.environ, RBT_BENCH_WORKER="1")
-    for attempt in range(4):
+    for attempt in range(6):
         try:
             p = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],

@@ -32,6 +32,9 @@ def main(argv=None):
                    help="also locate (loads toehold SA + doc list)")
     p.add_argument("-m", "--markers", action="store_true",
                    help="also report markers over the final range")
+    p.add_argument("-x", "--fbb", action="store_true",
+                   help="accepted for reference-CLI parity; the dense occ "
+                        "tables are this design's fbb analog (see README)")
     p.add_argument("-b", "--batch-size", type=int, default=4096)
     p.add_argument("--max-hits", type=int, default=None,
                    help="cap located occurrences (default: unbounded)")

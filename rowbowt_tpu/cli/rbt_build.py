@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--samples", help="native mode: comma-separated sample subset")
     p.add_argument("--wsize", type=int, default=10,
                    help="marker window size (native mode, default 10)")
+    p.add_argument("-x", "--fbb", action="store_true",
+                   help="accepted for reference-CLI parity; the dense occ "
+                        "tables are this design's fbb analog (see README)")
     p.add_argument("--no-dense", action="store_true",
                    help="skip dense occ tables (smallest index, slower queries)")
     args = p.parse_args(argv)

@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("--best-strand-only", action="store_true", dest="best_strand")
     p.add_argument("--clear-conflicting", action="store_true")
     p.add_argument("--clear-identical", action="store_true")
+    p.add_argument("-x", "--fbb", action="store_true",
+                   help="accepted for reference-CLI parity; the dense occ "
+                        "tables are this design's fbb analog (see README)")
     p.add_argument("-b", "--batch-size", type=int, default=2048)
     p.add_argument("--max-seeds", type=int, default=8)
     p.add_argument("--max-markers", type=int, default=32)

@@ -188,6 +188,15 @@ def build_index(
         ma_row = ma_row[srt]
         ma_val = ma_val[srt]
 
+    ma_start1 = None
+    if ma_row is not None and dense and n <= OCC1_MAX_N:
+        # dense row -> marker-offset table: ma_start1[i] = #markers in rows
+        # [0, i) — markers_at_range becomes two gathers instead of two
+        # binary searches
+        ma_start1 = np.searchsorted(
+            ma_row, np.arange(n + 1, dtype=np.int64), side="left"
+        ).astype(np.int32 if ma_row.shape[0] < (1 << 31) else np.int64)
+
     bwt4 = occ_blk = occ1 = tk1 = None
     if dense and A <= 16:
         bwt4, occ_blk = build_dense_tables(codes, A)
@@ -218,6 +227,7 @@ def build_index(
         ltk=ltk,
         ma_row=ma_row,
         ma_val=ma_val,
+        ma_start1=ma_start1,
         ma_wsize=ma_wsize,
         doc_starts=doc_starts.astype(np.int64) if doc_starts is not None else None,
         doc_names=doc_names,

@@ -47,8 +47,14 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
     Read the markers of lane b as markers[b, max_k-used[b]:] — that sequence
     equals the reference's lf.markers vector order.  Lanes shorter than wsize
     return empty (reference warns and bails, rowbowt.hpp:299-302).
+
+    The LF loop records only each window's (marker offset, count) — two
+    gathers + two scalar scatters per step; marker VALUES are expanded after
+    the loop in ceil(L/wsize)+1 append passes, so the [B, K] value gathers
+    run ~wsize times less often than a probe-in-loop formulation.
     """
     B, L = qcodes.shape
+    W = L // wsize + 2  # max windows incl. the final re-query
     dt = dx.idx_dtype
     lengths = lengths.astype(dt)
     # the reference passes (uint64)-1 for "unbounded" — clamp into our dtype
@@ -60,46 +66,70 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
     too_short = m < wsize
     done = too_short
     window_ei = m
-    buf = jnp.full((B, max_k), -1, dtype=jnp.int64)
-    used = jnp.zeros(B, dtype=dt)
-    total = jnp.zeros(B, dtype=dt)
+    ws = jnp.zeros((B, W), dtype=dt)
+    wc = jnp.zeros((B, W), dtype=dt)
+    nw = jnp.zeros(B, dtype=dt)
+    rows = jnp.arange(B)
+    if "occ1_flat" in dx.arrays:
+        lf = R.lf_step_occ1
+    elif dx.has_dense:
+        lf = R.lf_step_dense
+    else:
+        lf = R.lf_step
 
-    def probe(lo, hi, gate, buf, used, total):
+    def record(lo, hi, gate, ws, wc, nw):
         small = (hi - lo + 1) <= max_range
         do = gate & small
-        vals, cnt = R.markers_at_range(dx, jnp.where(do, lo, 1), jnp.where(do, hi, 0), max_k)
+        s, cnt = R.markers_bounds(dx, jnp.where(do, lo, 1), jnp.where(do, hi, 0))
         cnt = jnp.where(do, cnt, 0).astype(dt)
-        buf, used = _append_right(buf, used, vals, jnp.minimum(cnt, max_k))
-        total = total + cnt
-        return buf, used, total
+        slot = jnp.minimum(nw, W - 1).astype(jnp.int32)
+        ws = ws.at[rows, slot].set(jnp.where(do, s.astype(dt), ws[rows, slot]))
+        wc = wc.at[rows, slot].set(jnp.where(do, cnt, wc[rows, slot]))
+        nw = nw + do.astype(dt)
+        return ws, wc, nw
 
     def body(j, st):
-        lo, hi, done, window_ei, buf, used, total = st
+        lo, hi, done, window_ei, ws, wc, nw = st
         c = qcodes[:, L - 1 - j].astype(dt)
         active = (~done) & (j < m)
-        nlo, nhi = R.lf_step(dx, lo, hi, c)
+        nlo, nhi = lf(dx, lo, hi, c)
         empty = nlo > nhi
         # a failed full-read search clears collected markers (rowbowt.hpp:311-313)
         fail = active & empty
-        buf = jnp.where(fail[:, None], -1, buf)
-        used = jnp.where(fail, 0, used)
-        total = jnp.where(fail, 0, total)
+        nw = jnp.where(fail, 0, nw)
         lo = jnp.where(active, nlo, lo)
         hi = jnp.where(active, nhi, hi)
         done = done | fail
-        # window trigger (rowbowt.hpp:314-324): i == j for lanes with m == ...
+        # window trigger (rowbowt.hpp:314-324)
         ok = active & ~empty
         trigger = ok & (window_ei - (m - j) >= wsize)
-        buf, used, total = probe(lo, hi, trigger, buf, used, total)
+        ws, wc, nw = record(lo, hi, trigger, ws, wc, nw)
         window_ei = jnp.where(trigger, m - j, window_ei)
-        return lo, hi, done, window_ei, buf, used, total
+        return lo, hi, done, window_ei, ws, wc, nw
 
-    lo, hi, done, window_ei, buf, used, total = jax.lax.fori_loop(
-        0, L, body, (lo, hi, done, window_ei, buf, used, total)
+    lo, hi, done, window_ei, ws, wc, nw = jax.lax.fori_loop(
+        0, L, body, (lo, hi, done, window_ei, ws, wc, nw)
     )
     # final re-query quirk (rowbowt.hpp:328-335)
     final = (~done) & (~too_short) & (hi >= lo) & ((m - 1) % wsize != 0)
-    buf, used, total = probe(lo, hi, final, buf, used, total)
+    ws, wc, nw = record(lo, hi, final, ws, wc, nw)
+
+    # expansion: replay the original chronological append sequence
+    buf = jnp.full((B, max_k), -1, dtype=jnp.int64)
+    used = jnp.zeros(B, dtype=dt)
+    total = jnp.zeros(B, dtype=dt)
+    ma_val = dx.arrays["ma_val"]
+    M = ma_val.shape[0]
+    offs = jnp.arange(max_k, dtype=dt)[None, :]
+    for w in range(W):
+        live = w < nw
+        s = ws[:, w]
+        cnt = jnp.where(live, wc[:, w], 0)
+        pos = jnp.minimum(s[:, None] + offs, M - 1)
+        vals = jnp.where(offs < cnt[:, None], ma_val[pos], -1)
+        buf, used = _append_right(buf, used, vals, jnp.minimum(cnt, max_k))
+        total = total + cnt
+
     # failed searches report the empty range
     one = jnp.ones((), dtype=dt)
     zero = jnp.zeros((), dtype=dt)

@@ -30,23 +30,6 @@ from rowbowt_tpu.engine.device import DeviceIndex
 from rowbowt_tpu.ops import rank as R
 
 
-def _append_left(buf, used, vals, cnt):
-    """Append vals[:, :cnt] at slots [used, used+cnt) of buf [B, K].
-
-    Chronological (reference mbuf append) order; overflow past K drops the
-    newest entries.  Returns (buf, used) with used clipped to K.
-    """
-    B, K = buf.shape
-    W = vals.shape[1]
-    slots = jnp.arange(K, dtype=used.dtype)[None, :]
-    src = slots - used[:, None]
-    take = (src >= 0) & (src < jnp.minimum(cnt, W)[:, None])
-    gathered = jnp.take_along_axis(vals, jnp.clip(src, 0, W - 1), axis=1)
-    buf = jnp.where(take, gathered, buf)
-    used = jnp.minimum(used + cnt, K)
-    return buf, used
-
-
 def _scatter_rows(arr, slot, mask, val):
     """arr[b, slot[b]] = val[b] where mask[b]; arr is [B, S] (or [B, S, K])."""
     B = arr.shape[0]
@@ -178,6 +161,9 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     """
     B, L = qcodes.shape
     S, K = max_seeds, max_k
+    # each probe (window or seed-final) needs >= wsize fresh chars within its
+    # seed, and a failure adds at most one extra probe per wsize span
+    W = 2 * (L // max(wsize, 1)) + 4
     dt = dx.idx_dtype
     m = lengths.astype(dt)
     max_range = jnp.asarray(min(int(max_range), int(jnp.iinfo(dt).max)), dtype=dt)
@@ -200,16 +186,18 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     seed_ei = m
     window_ei = m
 
-    cbuf = jnp.full((B, K), -1, dtype=jnp.int64)
-    cused = jnp.zeros(B, dtype=dt)
-    ctot = jnp.zeros(B, dtype=dt)
+    # window records: marker offset/count + owning seed slot; values expand
+    # after the loop (the in-loop cost is 2 gathers + 3 scalar scatters)
+    ws = jnp.zeros((B, W), dtype=dt)
+    wc = jnp.zeros((B, W), dtype=dt)
+    wseed = jnp.zeros((B, W), dtype=dt)
+    nrec = jnp.zeros(B, dtype=dt)
     slo = jnp.full((B, S), 1, dtype=dt)
     shi = jnp.zeros((B, S), dtype=dt)
     sqs = jnp.zeros((B, S), dtype=dt)
     sqe = jnp.zeros((B, S), dtype=dt)
-    mvals = jnp.full((B, S, K), -1, dtype=jnp.int64)
-    mcnt = jnp.zeros((B, S), dtype=dt)
     ns = jnp.zeros(B, dtype=dt)
+    rows = jnp.arange(B)
 
     if "occ1_flat" in dx.arrays:
         lf = R.lf_step_occ1
@@ -217,14 +205,6 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
         lf = R.lf_step_dense
     else:
         lf = R.lf_step
-
-    def probe_markers(tlo, thi, do):
-        small = (thi - tlo + 1) <= max_range
-        go = do & small
-        vals, cnt = R.markers_at_range(
-            dx, jnp.where(go, tlo, 1), jnp.where(go, thi, 0), K
-        )
-        return vals, jnp.where(go, cnt, 0).astype(dt)
 
     def ftab_probe(i):
         """search_ftab over codes[m-i-1-k : m-i-1] == columns L-i-1-k + t."""
@@ -237,8 +217,8 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
         return flo.astype(dt), fhi.astype(dt), hit
 
     def body(_, st):
-        (lo, hi, plo, phi_, i, seed_ei, window_ei, cbuf, cused, ctot,
-         slo, shi, sqs, sqe, mvals, mcnt, ns) = st
+        (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+         slo, shi, sqs, sqe, ns) = st
         active = i < m
         col = jnp.clip(L - 1 - i, 0, L - 1).astype(qcodes.dtype)
         c = jnp.take_along_axis(qcodes, col[:, None], axis=1)[:, 0].astype(dt)
@@ -251,29 +231,29 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
         w_trigger = ok & (window_ei - (m - i - 1) >= wsize)
         # --- failure path: seed-final probe of prev (rowbowt.hpp:448)
         f_probe = fail & (seed_ei - (m - i) >= wsize)
-        # one markers probe per iteration, target selected per lane
+        # one markers-bounds probe per iteration, target selected per lane
         tlo = jnp.where(fail, plo, nlo)
         thi = jnp.where(fail, phi_, nhi)
-        vals, cnt = probe_markers(tlo, thi, w_trigger | f_probe)
-        cbuf, cused = _append_left(cbuf, cused, vals, cnt)
-        ctot = ctot + cnt
+        do = w_trigger | f_probe
+        go = do & ((thi - tlo + 1) <= max_range)
+        s_, cnt = R.markers_bounds(dx, jnp.where(go, tlo, 1),
+                                   jnp.where(go, thi, 0))
+        cnt = jnp.where(go, cnt, 0).astype(dt)
+        slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
+        ws = ws.at[rows, slot_r].set(jnp.where(go, s_.astype(dt), ws[rows, slot_r]))
+        wc = wc.at[rows, slot_r].set(jnp.where(go, cnt, wc[rows, slot_r]))
+        wseed = wseed.at[rows, slot_r].set(jnp.where(go, ns, wseed[rows, slot_r]))
+        nrec = nrec + go.astype(dt)
         window_ei = jnp.where(w_trigger, m - i - 1, window_ei)
 
-        # --- failure: emit seed (prev, (m-i, seed_ei-1), cbuf)
+        # --- failure: emit seed (prev, (m-i, seed_ei-1))
         rec = fail & (ns < S)
         slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
         slo = _scatter_rows(slo, slot, rec, plo)
         shi = _scatter_rows(shi, slot, rec, phi_)
         sqs = _scatter_rows(sqs, slot, rec, m - i)
         sqe = _scatter_rows(sqe, slot, rec, seed_ei - 1)
-        mvals = mvals.at[jnp.arange(B), slot].set(
-            jnp.where(rec[:, None], cbuf, mvals[jnp.arange(B), slot])
-        )
-        mcnt = _scatter_rows(mcnt, slot, rec, ctot)
         ns = ns + fail.astype(dt)
-        cbuf = jnp.where(fail[:, None], -1, cbuf)
-        cused = jnp.where(fail, 0, cused)
-        ctot = jnp.where(fail, 0, ctot)
         # post-failure reset (rowbowt.hpp:450-453)
         plo = jnp.where(fail, 0, plo)
         phi_ = jnp.where(fail, dx.n - 1, phi_)
@@ -303,20 +283,25 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
             plo = jnp.where(ok, nlo, plo)
             phi_ = jnp.where(ok, nhi, phi_)
             i = jnp.where(active, i + 1, i)
-        return (lo, hi, plo, phi_, i, seed_ei, window_ei, cbuf, cused,
-                ctot, slo, shi, sqs, sqe, mvals, mcnt, ns)
+        return (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+                slo, shi, sqs, sqe, ns)
 
-    st = (lo, hi, plo, phi_, i, seed_ei, window_ei, cbuf, cused, ctot,
-          slo, shi, sqs, sqe, mvals, mcnt, ns)
-    (lo, hi, plo, phi_, i, seed_ei, window_ei, cbuf, cused, ctot,
-     slo, shi, sqs, sqe, mvals, mcnt, ns) = jax.lax.fori_loop(0, L, body, st)
+    st = (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+          slo, shi, sqs, sqe, ns)
+    (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+     slo, shi, sqs, sqe, ns) = jax.lax.fori_loop(0, L, body, st)
 
     # final emission (rowbowt.hpp:477-481): fn(range, (m-i, seed_ei-1), mbuf)
     nonempty = hi >= lo
     f_probe = nonempty & (seed_ei - (m - i) >= wsize)
-    vals, cnt = probe_markers(lo, hi, f_probe)
-    cbuf, cused = _append_left(cbuf, cused, vals, cnt)
-    ctot = ctot + cnt
+    go = f_probe & ((hi - lo + 1) <= max_range)
+    s_, cnt = R.markers_bounds(dx, jnp.where(go, lo, 1), jnp.where(go, hi, 0))
+    cnt = jnp.where(go, cnt, 0).astype(dt)
+    slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
+    ws = ws.at[rows, slot_r].set(jnp.where(go, s_.astype(dt), ws[rows, slot_r]))
+    wc = wc.at[rows, slot_r].set(jnp.where(go, cnt, wc[rows, slot_r]))
+    wseed = wseed.at[rows, slot_r].set(jnp.where(go, ns, wseed[rows, slot_r]))
+    nrec = nrec + go.astype(dt)
     emit = m > 0
     rec = emit & (ns < S)
     slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
@@ -324,11 +309,29 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     shi = _scatter_rows(shi, slot, rec, hi)
     sqs = _scatter_rows(sqs, slot, rec, m - i)
     sqe = _scatter_rows(sqe, slot, rec, seed_ei - 1)
-    mvals = mvals.at[jnp.arange(B), slot].set(
-        jnp.where(rec[:, None], cbuf, mvals[jnp.arange(B), slot])
-    )
-    mcnt = _scatter_rows(mcnt, slot, rec, ctot)
     ns = ns + emit.astype(dt)
+
+    # expansion: replay the chronological per-seed appends from the records
+    mvals = jnp.full((B, S, K), -1, dtype=jnp.int64)
+    used_s = jnp.zeros((B, S), dtype=dt)
+    mcnt = jnp.zeros((B, S), dtype=dt)
+    ma_val = dx.arrays["ma_val"]
+    M = ma_val.shape[0]
+    slots = jnp.arange(K, dtype=dt)[None, :]
+    for w in range(W):
+        live = (w < nrec) & (wseed[:, w] < S)
+        sl = jnp.clip(wseed[:, w], 0, S - 1).astype(jnp.int32)
+        cnt = jnp.where(live, wc[:, w], 0)
+        u = used_s[rows, sl]
+        src = slots - u[:, None]
+        take = (src >= 0) & (src < jnp.minimum(cnt, K)[:, None]) & live[:, None]
+        pos = jnp.minimum(ws[:, w][:, None] + jnp.clip(src, 0, K - 1), M - 1)
+        gathered = ma_val[pos]
+        cur = mvals[rows, sl]
+        mvals = mvals.at[rows, sl].set(jnp.where(take, gathered, cur))
+        used_s = used_s.at[rows, sl].set(
+            jnp.where(live, jnp.minimum(u + cnt, K), u))
+        mcnt = mcnt.at[rows, sl].set(mcnt[rows, sl] + cnt)
     return slo, shi, sqs, sqe, mvals, mcnt, ns
 
 
@@ -376,12 +379,14 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
     plo, phi_ = lo, hi
     window_ei = m
     done = jnp.zeros(B, dtype=bool)
-    cbuf = jnp.full((B, K), -1, dtype=jnp.int64)
-    cused = jnp.zeros(B, dtype=dt)
-    ctot = jnp.zeros(B, dtype=dt)
+    W = L // max(wsize, 1) + 2
+    ws = jnp.zeros((B, W), dtype=dt)
+    wc = jnp.zeros((B, W), dtype=dt)
+    nrec = jnp.zeros(B, dtype=dt)
     elo = jnp.full(B, 1, dtype=dt)
     ehi = jnp.zeros(B, dtype=dt)
     eqs = jnp.zeros(B, dtype=dt)
+    rows = jnp.arange(B)
 
     if "occ1_flat" in dx.arrays:
         lf = R.lf_step_occ1
@@ -390,18 +395,18 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
     else:
         lf = R.lf_step
 
-    def probe(tlo, thi, do, cbuf, cused, ctot):
-        small = (thi - tlo + 1) <= max_range
-        go = do & small
-        vals, cnt = R.markers_at_range(
-            dx, jnp.where(go, tlo, 1), jnp.where(go, thi, 0), K
-        )
+    def record(tlo, thi, do, ws, wc, nrec):
+        go = do & ((thi - tlo + 1) <= max_range)
+        s_, cnt = R.markers_bounds(dx, jnp.where(go, tlo, 1),
+                                   jnp.where(go, thi, 0))
         cnt = jnp.where(go, cnt, 0).astype(dt)
-        cbuf, cused = _append_left(cbuf, cused, vals, cnt)
-        return cbuf, cused, ctot + cnt
+        slot = jnp.minimum(nrec, W - 1).astype(jnp.int32)
+        ws = ws.at[rows, slot].set(jnp.where(go, s_.astype(dt), ws[rows, slot]))
+        wc = wc.at[rows, slot].set(jnp.where(go, cnt, wc[rows, slot]))
+        return ws, wc, nrec + go.astype(dt)
 
     def body(_, st):
-        lo, hi, plo, phi_, i, window_ei, done, cbuf, cused, ctot, elo, ehi, eqs = st
+        lo, hi, plo, phi_, i, window_ei, done, ws, wc, nrec, elo, ehi, eqs = st
         active = (~done) & (i < m)
         col = jnp.clip(L - 1 - i, 0, L - 1).astype(qcodes.dtype)
         c = jnp.take_along_axis(qcodes, col[:, None], axis=1)[:, 0].astype(dt)
@@ -413,7 +418,7 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
         w_trigger = ok & (window_ei - (m - i - 1) >= wsize)
         tlo = jnp.where(fail, lo, nlo)   # prev_range is pre-LF state
         thi = jnp.where(fail, hi, nhi)
-        cbuf, cused, ctot = probe(tlo, thi, f_probe | w_trigger, cbuf, cused, ctot)
+        ws, wc, nrec = record(tlo, thi, f_probe | w_trigger, ws, wc, nrec)
         window_ei = jnp.where(w_trigger, m - i - 1, window_ei)
         elo = jnp.where(fail, lo, elo)
         ehi = jnp.where(fail, hi, ehi)
@@ -422,18 +427,36 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
         lo = jnp.where(ok, nlo, lo)
         hi = jnp.where(ok, nhi, hi)
         i = jnp.where(active, i + 1, i)
-        return lo, hi, plo, phi_, i, window_ei, done, cbuf, cused, ctot, elo, ehi, eqs
+        return lo, hi, plo, phi_, i, window_ei, done, ws, wc, nrec, elo, ehi, eqs
 
-    st = (lo, hi, plo, phi_, i, window_ei, done, cbuf, cused, ctot, elo, ehi, eqs)
-    (lo, hi, plo, phi_, i, window_ei, done, cbuf, cused, ctot, elo, ehi, eqs
+    st = (lo, hi, plo, phi_, i, window_ei, done, ws, wc, nrec, elo, ehi, eqs)
+    (lo, hi, plo, phi_, i, window_ei, done, ws, wc, nrec, elo, ehi, eqs
      ) = jax.lax.fori_loop(0, L, body, st)
     # lanes that completed without failure: final probe + emit (rowbowt.hpp:399-403)
     fin = ~done
     f_probe = fin & (hi >= lo) & (i >= wsize) & (m > 0)
-    cbuf, cused, ctot = probe(lo, hi, f_probe, cbuf, cused, ctot)
+    ws, wc, nrec = record(lo, hi, f_probe, ws, wc, nrec)
     elo = jnp.where(fin, lo, elo)
     ehi = jnp.where(fin, hi, ehi)
     eqs = jnp.where(fin, m - i, eqs)
+
+    # expansion: replay the chronological appends
+    cbuf = jnp.full((B, K), -1, dtype=jnp.int64)
+    cused = jnp.zeros(B, dtype=dt)
+    ctot = jnp.zeros(B, dtype=dt)
+    ma_val = dx.arrays["ma_val"]
+    M = ma_val.shape[0]
+    slots = jnp.arange(K, dtype=dt)[None, :]
+    for w in range(W):
+        live = w < nrec
+        cnt = jnp.where(live, wc[:, w], 0)
+        u = cused
+        src = slots - u[:, None]
+        take = (src >= 0) & (src < jnp.minimum(cnt, K)[:, None]) & live[:, None]
+        pos = jnp.minimum(ws[:, w][:, None] + jnp.clip(src, 0, K - 1), M - 1)
+        cbuf = jnp.where(take, ma_val[pos], cbuf)
+        cused = jnp.where(live, jnp.minimum(u + cnt, K), u)
+        ctot = ctot + cnt
     return elo, ehi, eqs, cbuf, ctot
 
 

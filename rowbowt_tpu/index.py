@@ -76,6 +76,7 @@ class RbtIndex:
     ftab_k: int = 0
 
     # --- dense FM tables (TPU fast path; DESIGN.md) ---
+    ma_start1: np.ndarray | None = None  # int[n+1]: #markers in rows [0, i) (dense probe)
     bwt4: np.ndarray | None = None  # uint32[nb*16]: 4-bit packed BWT, 128 syms/block
     occ_blk: np.ndarray | None = None  # int[A, nb]: count of c before each block
     occ1: np.ndarray | None = None  # int[A, n+1]: full positional occ (1 gather/rank)
@@ -111,8 +112,8 @@ class RbtIndex:
             "cruns_off": self.cruns_off,
         }
         for name in ("samples_last", "pred_pos", "pred_to_run", "ltk", "ma_row",
-                     "ma_val", "doc_starts", "ftab", "bwt4", "occ_blk", "occ1",
-                     "tk1"):
+                     "ma_val", "ma_start1", "doc_starts", "ftab", "bwt4",
+                     "occ_blk", "occ1", "tk1"):
             v = getattr(self, name)
             if v is not None:
                 arrs[name] = v
@@ -154,6 +155,7 @@ class RbtIndex:
             ltk=get("ltk", with_sa),
             ma_row=get("ma_row", with_ma),
             ma_val=get("ma_val", with_ma),
+            ma_start1=get("ma_start1", with_ma),
             ma_wsize=int(meta.get("ma_wsize", 10)),
             doc_starts=get("doc_starts", with_dl),
             doc_names=meta.get("doc_names") if with_dl else None,
@@ -193,6 +195,8 @@ class RbtIndex:
             d["doc_starts"] = self.doc_starts.astype(dt)
         if self.ftab is not None:
             d["ftab"] = self.ftab.astype(dt)
+        if self.ma_start1 is not None and self.ma_row is not None:
+            d["ma_start1"] = self.ma_start1.astype(dt)
         if self.bwt4 is not None:
             d["bwt4"] = self.bwt4.astype(np.uint32)
             d["occ_blk_flat"] = self.occ_blk.astype(dt).reshape(-1)

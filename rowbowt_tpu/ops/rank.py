@@ -212,6 +212,20 @@ def phi_step(dx: DeviceIndex, i):
     return (prev_sample + delta) % dx.n
 
 
+def markers_bounds(dx: DeviceIndex, lo, hi):
+    """(start offset, count) of the markers at BWT rows [lo, hi]: two gathers
+    via the dense ma_start1 table when built, else two binary searches."""
+    arr = dx.arrays
+    if "ma_start1" in arr:
+        ms = arr["ma_start1"]
+        s = ms[jnp.clip(lo, 0, dx.n)]
+        e = ms[jnp.clip(hi + 1, 0, dx.n)]
+    else:
+        s = _ss(arr["ma_row"], lo, "left")
+        e = _ss(arr["ma_row"], hi + 1, "left")
+    return s, jnp.maximum(e - s, 0)
+
+
 def markers_at_range(dx: DeviceIndex, lo, hi, max_k: int):
     """Batched MarkerArray::at_range: up to max_k packed markers per lane.
 
@@ -219,9 +233,7 @@ def markers_at_range(dx: DeviceIndex, lo, hi, max_k: int):
     ranges return count 0.  count may exceed max_k (caller sees truncation).
     """
     arr = dx.arrays
-    s = _ss(arr["ma_row"], lo, "left")
-    e = _ss(arr["ma_row"], hi + 1, "left")
-    cnt = jnp.maximum(e - s, 0)
+    s, cnt = markers_bounds(dx, lo, hi)
     offs = jnp.arange(max_k, dtype=s.dtype)[None, :]
     pos = jnp.minimum(s[:, None] + offs, arr["ma_row"].shape[0] - 1)
     vals = arr["ma_val"][pos]
