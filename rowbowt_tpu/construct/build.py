@@ -135,6 +135,19 @@ def build_tk1_from_runs(codes, run_start, samples_last, A: int, dtype):
     return tk1
 
 
+def build_phi1(pred_pos, pred_to_run, samples_last, n: int, dtype):
+    """Dense phi table: phi1[i] = ToeholdSA::phi(i) (toehold_sa.hpp:56-72)
+    precomputed for every text position — the phi walk becomes one gather per
+    located occurrence."""
+    i = np.arange(n, dtype=np.int64)
+    rk = np.searchsorted(pred_pos, i, side="left")
+    jr = np.where(rk == 0, pred_pos.shape[0] - 1, rk - 1)
+    j = pred_pos[jr]
+    delta = np.where(j < i, i - j, i + 1)
+    prev_sample = samples_last[pred_to_run[jr] - 1]
+    return ((prev_sample + delta) % n).astype(dtype)
+
+
 def build_index(
     text: np.ndarray,
     markers: Sequence[Marker] | None = None,
@@ -197,7 +210,7 @@ def build_index(
             ma_row, np.arange(n + 1, dtype=np.int64), side="left"
         ).astype(np.int32 if ma_row.shape[0] < (1 << 31) else np.int64)
 
-    bwt4 = occ_blk = occ1 = tk1 = None
+    bwt4 = occ_blk = occ1 = tk2 = phi1 = None
     if dense and A <= 16:
         bwt4, occ_blk = build_dense_tables(codes, A)
         if n <= OCC1_MAX_N:
@@ -205,12 +218,20 @@ def build_index(
             if with_sa_samples:
                 # tk1[c, i] = (SA[j]+n-1)%n for last j<=i with BWT[j]==c — the
                 # dense toehold table for lf_step_w_loc_occ1
+                # tk2[c, i] = (SA[j]+n-1)%n for the last j<=i with BWT[j]==c
+                # (j may be i itself).  By the toehold invariant k = SA[hi],
+                # this single value covers BOTH of the reference's cases
+                # (rowbowt.hpp:556-566): trivial k-1 = SA[hi]-1 = tk2[c,hi]
+                # when BWT[hi]==c, and samples_last[run(j)] = tk2[c,hi]
+                # otherwise — the per-step branch disappears.
                 vals = (sa + n - 1) % n
-                tk1 = np.zeros((A, n), dtype=occ1.dtype)
+                tk2 = np.zeros((A, n), dtype=occ1.dtype)
                 pos = np.arange(n, dtype=np.int64)
                 for c in range(A):
                     ff = np.maximum.accumulate(np.where(codes == c, pos, -1))
-                    tk1[c] = vals[np.maximum(ff, 0)] * (ff >= 0)
+                    tk2[c] = vals[np.maximum(ff, 0)] * (ff >= 0)
+                phi1 = build_phi1(pred_pos, pred_to_run, samples_last, n,
+                                  occ1.dtype)
 
     idx = RbtIndex(
         n=n,
@@ -234,7 +255,8 @@ def build_index(
         bwt4=bwt4,
         occ_blk=occ_blk,
         occ1=occ1,
-        tk1=tk1,
+        tk2=tk2,
+        phi1=phi1,
     )
     if ftab_k:
         from rowbowt_tpu.engine.naive import build_ftab_dense

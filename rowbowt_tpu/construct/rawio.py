@@ -26,6 +26,7 @@ from rowbowt_tpu.construct.build import (
     OCC1_MAX_N,
     build_dense_tables,
     build_occ1,
+    build_phi1,
     build_tk1_from_runs,
     build_toehold_tables,
     core_tables,
@@ -125,7 +126,7 @@ def build_index_from_bwt(
             run_head, samples_last, ssa.astype(np.int64), A
         )
 
-    bwt4 = occ_blk = occ1 = tk1 = None
+    bwt4 = occ_blk = occ1 = tk1 = phi1 = None
     if dense and A <= 16:
         bwt4, occ_blk = build_dense_tables(codes, A)
         if n <= OCC1_MAX_N:
@@ -133,6 +134,8 @@ def build_index_from_bwt(
             if samples_last is not None:
                 tk1 = build_tk1_from_runs(codes, run_start, samples_last, A,
                                           occ1.dtype)
+                phi1 = build_phi1(pred_pos, pred_to_run, samples_last, n,
+                                  occ1.dtype)
 
     idx = RbtIndex(
         n=n,
@@ -156,6 +159,7 @@ def build_index_from_bwt(
         occ_blk=occ_blk,
         occ1=occ1,
         tk1=tk1,
+        phi1=phi1,
     )
     if ftab_k:
         from rowbowt_tpu.engine.naive import build_ftab_dense

@@ -30,7 +30,12 @@ def find_ranges_w_toehold(dx: DeviceIndex, qcodes, lengths):
     k0 = (dx.arrays["samples_last"][dx.R - 1] + 1) % dx.n
     k = jnp.full(B, k0, dtype=dt)
     done = jnp.zeros(B, dtype=bool)
-    step = R.lf_step_w_loc_occ1 if "tk1_flat" in dx.arrays else R.lf_step_w_loc
+    if "tk2_flat" in dx.arrays:
+        step = R.lf_step_w_loc_tk2
+    elif "tk1_flat" in dx.arrays:
+        step = R.lf_step_w_loc_occ1
+    else:
+        step = R.lf_step_w_loc
 
     def body(j, st):
         lo, hi, k, done = st
@@ -109,7 +114,12 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     cqs = jnp.zeros((B, C), dtype=dt)
     cqe = jnp.zeros((B, C), dtype=dt)
     ncp = jnp.zeros(B, dtype=dt)
-    step = R.lf_step_w_loc_occ1 if "tk1_flat" in dx.arrays else R.lf_step_w_loc
+    if "tk2_flat" in dx.arrays:
+        step = R.lf_step_w_loc_tk2
+    elif "tk1_flat" in dx.arrays:
+        step = R.lf_step_w_loc_occ1
+    else:
+        step = R.lf_step_w_loc
     rows = jnp.arange(B)
 
     def put(arr, slot, mask, val):

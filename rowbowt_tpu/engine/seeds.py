@@ -65,7 +65,12 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
     sqe = jnp.zeros((B, S), dtype=dt)
     ssamp = jnp.zeros((B, S), dtype=dt)
     ns = jnp.zeros(B, dtype=dt)
-    step = R.lf_step_w_loc_occ1 if "tk1_flat" in dx.arrays else R.lf_step_w_loc
+    if "tk2_flat" in dx.arrays:
+        step = R.lf_step_w_loc_tk2
+    elif "tk1_flat" in dx.arrays:
+        step = R.lf_step_w_loc_occ1
+    else:
+        step = R.lf_step_w_loc
 
     def body(j, st):
         lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns = st

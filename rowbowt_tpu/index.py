@@ -80,7 +80,9 @@ class RbtIndex:
     bwt4: np.ndarray | None = None  # uint32[nb*16]: 4-bit packed BWT, 128 syms/block
     occ_blk: np.ndarray | None = None  # int[A, nb]: count of c before each block
     occ1: np.ndarray | None = None  # int[A, n+1]: full positional occ (1 gather/rank)
-    tk1: np.ndarray | None = None  # int[A, n]: dense toehold (last-c sample at <=i)
+    tk1: np.ndarray | None = None  # int[A, n]: dense toehold (last-c sample at <=i; raw-input builds)
+    tk2: np.ndarray | None = None  # int[A, n]: one-gather post-LF toehold (full-SA builds)
+    phi1: np.ndarray | None = None  # int[n]: dense phi (1 gather per phi step)
 
     @property
     def R(self) -> int:
@@ -113,7 +115,7 @@ class RbtIndex:
         }
         for name in ("samples_last", "pred_pos", "pred_to_run", "ltk", "ma_row",
                      "ma_val", "ma_start1", "doc_starts", "ftab", "bwt4",
-                     "occ_blk", "occ1", "tk1"):
+                     "occ_blk", "occ1", "tk1", "tk2", "phi1"):
             v = getattr(self, name)
             if v is not None:
                 arrs[name] = v
@@ -165,6 +167,8 @@ class RbtIndex:
             occ_blk=get("occ_blk"),
             occ1=get("occ1"),
             tk1=get("tk1", with_sa),
+            tk2=get("tk2", with_sa),
+            phi1=get("phi1", with_sa),
         )
 
     # ---------------- device view ----------------
@@ -204,4 +208,8 @@ class RbtIndex:
             d["occ1_flat"] = self.occ1.astype(dt).reshape(-1)
         if self.tk1 is not None and self.samples_last is not None:
             d["tk1_flat"] = self.tk1.astype(dt).reshape(-1)
+        if self.tk2 is not None and self.samples_last is not None:
+            d["tk2_flat"] = self.tk2.astype(dt).reshape(-1)
+        if self.phi1 is not None and self.samples_last is not None:
+            d["phi1"] = self.phi1.astype(dt)
         return d

@@ -202,8 +202,11 @@ def lf_step_w_loc(dx: DeviceIndex, lo, hi, c, k):
 
 
 def phi_step(dx: DeviceIndex, i):
-    """Batched ToeholdSA::phi (toehold_sa.hpp:56-72)."""
+    """Batched ToeholdSA::phi (toehold_sa.hpp:56-72); one gather via the dense
+    phi1 table when built, else predecessor searchsorted."""
     arr = dx.arrays
+    if "phi1" in arr:
+        return arr["phi1"][jnp.clip(i, 0, dx.n - 1)]
     rk = _ss(arr["pred_pos"], i, "left")  # number of pred values < i
     jr = jnp.where(rk == 0, dx.R - 1, rk - 1)
     j = arr["pred_pos"][jr]
@@ -273,4 +276,28 @@ def ftab_lookup(dx: DeviceIndex, kcodes):
         jnp.where(hit, lo, zero),
         jnp.where(hit, hi, zero + dx.n - 1),
         hit,
+    )
+
+
+def lf_step_w_loc_tk2(dx: DeviceIndex, lo, hi, c, k):
+    """Toehold LF at THREE gathered elements: the tk2 table folds the
+    reference's trivial/non-trivial toehold branch (rowbowt.hpp:553-573) into
+    one precomputed value — tk2[c, hi] IS the post-step toehold."""
+    arr = dx.arrays
+    n1 = dx.n + 1
+    csafe = jnp.maximum(c, 0).astype(lo.dtype)
+    o_lo = arr["occ1_flat"][csafe * n1 + jnp.clip(lo, 0, dx.n)]
+    o_hi1 = arr["occ1_flat"][csafe * n1 + jnp.clip(hi + 1, 0, dx.n)]
+    c_before = jnp.where(c < 0, 0, o_lo.astype(lo.dtype))
+    c_inside = jnp.where(c < 0, 0, (o_hi1 - o_lo).astype(lo.dtype))
+    nlo = _f_onehot(dx, c).astype(lo.dtype) + c_before
+    nhi = nlo + c_inside - 1
+    empty = (c_inside <= 0) | (c < 0)
+    nk = arr["tk2_flat"][csafe * dx.n + jnp.clip(hi, 0, dx.n - 1)]
+    one = jnp.ones((), dtype=nlo.dtype)
+    zero = jnp.zeros((), dtype=nlo.dtype)
+    return (
+        jnp.where(empty, one, nlo),
+        jnp.where(empty, zero, nhi),
+        jnp.where(empty, zero, nk.astype(lo.dtype)),
     )

@@ -21,12 +21,15 @@ def test_raw_roundtrip(tiny_index, tmp_path):
                                       err_msg=name)
     assert idx2.doc_names == idx.doc_names
     np.testing.assert_array_equal(idx2.doc_starts, idx.doc_starts)
-    # tk1 may differ at positions where BWT[i] == c (never read there)
+    # full-SA builds carry tk2 (one-gather toehold); raw builds fall back to
+    # tk1 (run-boundary samples only) — they agree wherever BWT[i] != c,
+    # the only positions tk1's kernel consults
     run_len = np.diff(np.append(idx.run_start, idx.n))
     codes = np.repeat(idx.run_head.astype(np.int64), run_len)
+    assert idx.tk2 is not None and idx2.tk1 is not None
     for c in range(idx.alpha.size):
         used = codes != c
-        np.testing.assert_array_equal(idx2.tk1[c][used], idx.tk1[c][used])
+        np.testing.assert_array_equal(idx2.tk1[c][used], idx.tk2[c][used])
 
 
 def test_raw_rebuild_queries(tiny_index, tmp_path):
