@@ -39,7 +39,10 @@ def _build_or_load_index():
     from rowbowt_tpu.index import RbtIndex
 
     if os.path.exists(os.path.join(CACHE, "rbt_meta.json")):
-        return RbtIndex.load(CACHE)
+        idx = RbtIndex.load(CACHE)
+        if idx.lfj is not None and idx.kval is not None and idx.ftab is not None:
+            return idx
+        print("bench: stale index cache (pre-lfj format); rebuilding", file=sys.stderr)
     from rowbowt_tpu.alphabet import SEP_BYTE, TERM_BYTE
     from rowbowt_tpu.construct.build import build_index
     from rowbowt_tpu.construct.panel import Marker
@@ -76,7 +79,7 @@ def _build_or_load_index():
     idx = build_index(text, markers=markers,
                       doc_starts=np.array(doc_starts, dtype=np.int64),
                       doc_names=["ref"] + [f"hap{h}" for h in range(N_HAPS)],
-                      ma_wsize=w)
+                      ma_wsize=w, ftab_k=10)
     print(f"built in {time.perf_counter()-t0:.1f}s (R={idx.R:,})", file=sys.stderr)
     os.makedirs(CACHE, exist_ok=True)
     idx.save(CACHE)
@@ -119,7 +122,7 @@ def main():
     print("bench: jax ready", file=sys.stderr)
 
     from rowbowt_tpu.engine.batch import encode_batch
-    from rowbowt_tpu.engine.count import find_ranges
+    from rowbowt_tpu.engine.count import find_ranges, find_ranges_jump, repair_ranges
     from rowbowt_tpu.engine.device import DeviceIndex
 
     idx = _build_or_load_index()
@@ -152,20 +155,49 @@ def main():
         _, (lo, hi) = jax.lax.scan(step, None, (qc3, len2 + salt - salt))
         return lo, hi, jax.numpy.sum(lo) + jax.numpy.sum(hi)
 
-    lo, hi, chk = count_all(dx, qc3, len2, 0)  # warmup / compile
-    _ = int(chk)  # host readback = execution barrier
-    print("bench: warmup done", file=sys.stderr)
+    @jax.jit
+    def count_all_jump(dx, qc3, len2, salt):
+        def step(_, xs):
+            qc, ln = xs
+            return None, find_ranges_jump(dx, qc, ln)
+        _, (lo, hi, brk, jb) = jax.lax.scan(step, None, (qc3, len2 + salt - salt))
+        return lo, hi, brk, jb
+
     n_done = nb * BATCH
+    qflat = qcodes[:n_done].astype(np.int32)
+    lflat = lengths[:n_done].astype(np.int64)
+
+    def run_fast(salt):
+        """Jump fast path + resume repair: end-to-end exact counts."""
+        lo, hi, brk, jb = count_all_jump(dx, qc3, len2, salt)
+        lo, hi, brk, jb = (np.asarray(x).reshape(-1) for x in (lo, hi, brk, jb))
+        return repair_ranges(dx, qflat, lflat, lo.copy(), hi.copy(),
+                             brk.copy(), jb)
+
+    flo, fhi = run_fast(0)  # warmup / compile (incl. repair bucket shapes)
+    print("bench: warmup done", file=sys.stderr)
     best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        out = count_all(dx, qc3, len2, rep + 1)
-        _ = int(out[2])
+        flo, fhi = run_fast(rep + 1)
         best = min(best, time.perf_counter() - t0)
     tpu_rps = n_done / best
-    print(f"accel: {n_done:,} reads in {best:.3f}s -> {tpu_rps:,.0f} reads/s",
-          file=sys.stderr)
-    outs0 = np.asarray(out[0][0]), np.asarray(out[1][0])
+    print(f"accel: {n_done:,} reads in {best:.3f}s -> {tpu_rps:,.0f} reads/s "
+          f"(jump+repair)", file=sys.stderr)
+
+    # exactness cross-check of the full fast path against the plain LF loop
+    out = count_all(dx, qc3, len2, 0)
+    _ = int(out[2])
+    slo = np.asarray(out[0]).reshape(-1)
+    shi = np.asarray(out[1]).reshape(-1)
+    assert (flo == slo).all() and (fhi == shi).all(), "jump path != slow path"
+    t0 = time.perf_counter()
+    out = count_all(dx, qc3, len2, 2)
+    _ = int(out[2])
+    slow_dt = time.perf_counter() - t0
+    print(f"accel-slow-LF: {n_done:,} reads in {slow_dt:.3f}s -> "
+          f"{n_done/slow_dt:,.0f} reads/s", file=sys.stderr)
+    outs0 = slo[:BATCH], shi[:BATCH]
 
     # CPU baseline (single thread, native)
     vs = None
@@ -267,7 +299,7 @@ def _parent():
         try:
             p = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
-                env=env, timeout=180, capture_output=True, text=True,
+                env=env, timeout=420, capture_output=True, text=True,
             )
         except subprocess.TimeoutExpired as e:
             print(f"bench attempt {attempt}: timeout; retrying", file=sys.stderr)

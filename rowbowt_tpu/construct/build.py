@@ -63,6 +63,48 @@ def build_dense_tables(codes: np.ndarray, A: int):
     return bwt4, occ_blk
 
 
+LFJ_J = 10  # LF steps per jump-table hop (divides the default marker wsize)
+
+
+def build_lfj(codes: np.ndarray, occ1: np.ndarray, F: np.ndarray,
+              J: int = LFJ_J) -> np.ndarray:
+    """Run-jump table: J chained LF steps in one gathered row.
+
+    When a search range [lo, lo+sz) lies inside a single BWT run, LF with the
+    run's char maps it to the contiguous [LF(lo), LF(lo)+sz) — size preserved,
+    no rank needed.  lfj[i] packs, for the J-step LF path from row i:
+
+      word0 bits 0..31   LF^J(i)
+      word0 bits 32..39  min over hops t of dist-to-run-end(LF^t(i)), cap 255
+      word0 bits 40..63  path chars 0..5   (4 bits each; char t = BWT[LF^t(i)])
+      word1 bits 0..15   path chars 6..9
+
+    A lane whose packed next-J read chars equal the path chars, and whose
+    range size sz satisfies sz-1 <= min_dist, advances J exact backward-search
+    steps with ONE gather (engine.count.find_ranges_jump); anything else is
+    replayed through the exact slow path.
+    """
+    n = codes.shape[0]
+    idx = np.arange(n, dtype=np.int64)
+    lf = (F[codes] + occ1[codes, idx]).astype(np.int64)
+    change = np.flatnonzero(np.diff(codes) != 0) + 1
+    run_id = np.zeros(n, dtype=np.int64)
+    run_id[change] = 1
+    run_id = np.cumsum(run_id)
+    run_end = (np.append(change, n) - 1)[run_id]
+    dist = np.minimum(run_end - idx, 255)
+    row = idx
+    chars = np.zeros(n, dtype=np.int64)
+    mind = np.full(n, 255, dtype=np.int64)
+    for t in range(J):
+        chars |= codes[row].astype(np.int64) << (4 * t)
+        np.minimum(mind, dist[row], out=mind)
+        row = lf[row]
+    w0 = row | (mind << 32) | ((chars & 0xFFFFFF) << 40)
+    w1 = chars >> 24
+    return np.stack([w0, w1], axis=1)
+
+
 def core_tables(codes: np.ndarray, A: int):
     """Run structure + rank tables straight from the BWT code sequence.
 
@@ -210,26 +252,19 @@ def build_index(
             ma_row, np.arange(n + 1, dtype=np.int64), side="left"
         ).astype(np.int32 if ma_row.shape[0] < (1 << 31) else np.int64)
 
-    bwt4 = occ_blk = occ1 = tk2 = phi1 = None
+    bwt4 = occ_blk = occ1 = kval = phi1 = lfj = None
     if dense and A <= 16:
         bwt4, occ_blk = build_dense_tables(codes, A)
         if n <= OCC1_MAX_N:
             occ1 = build_occ1(codes, A)
+            lfj = build_lfj(codes, occ1, F)
             if with_sa_samples:
-                # tk1[c, i] = (SA[j]+n-1)%n for last j<=i with BWT[j]==c — the
-                # dense toehold table for lf_step_w_loc_occ1
-                # tk2[c, i] = (SA[j]+n-1)%n for the last j<=i with BWT[j]==c
-                # (j may be i itself).  By the toehold invariant k = SA[hi],
-                # this single value covers BOTH of the reference's cases
-                # (rowbowt.hpp:556-566): trivial k-1 = SA[hi]-1 = tk2[c,hi]
-                # when BWT[hi]==c, and samples_last[run(j)] = tk2[c,hi]
-                # otherwise — the per-step branch disappears.
-                vals = (sa + n - 1) % n
-                tk2 = np.zeros((A, n), dtype=occ1.dtype)
-                pos = np.arange(n, dtype=np.int64)
-                for c in range(A):
-                    ff = np.maximum.accumulate(np.where(codes == c, pos, -1))
-                    tk2[c] = vals[np.maximum(ff, 0)] * (ff >= 0)
+                # kval[i] = SA[i]: the toehold invariant through LF_w_loc
+                # (rowbowt.hpp:553-573) is k == SA[hi] — both the trivial k-1
+                # case and the samples_last[run] case land on SA of the new hi
+                # — so the toehold of ANY search state is one gather from the
+                # final hi; no per-step toehold maintenance at all.
+                kval = sa.astype(occ1.dtype)
                 phi1 = build_phi1(pred_pos, pred_to_run, samples_last, n,
                                   occ1.dtype)
 
@@ -255,8 +290,9 @@ def build_index(
         bwt4=bwt4,
         occ_blk=occ_blk,
         occ1=occ1,
-        tk2=tk2,
+        kval=kval,
         phi1=phi1,
+        lfj=lfj,
     )
     if ftab_k:
         from rowbowt_tpu.engine.naive import build_ftab_dense

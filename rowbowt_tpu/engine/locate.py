@@ -20,7 +20,13 @@ from rowbowt_tpu.ops import rank as R
 
 @jax.jit
 def find_ranges_w_toehold(dx: DeviceIndex, qcodes, lengths):
-    """Returns (lo, hi, ssamp) per lane; empty -> (1, 0, 0) like the reference."""
+    """Returns (lo, hi, ssamp) per lane; empty -> (1, 0, 0) like the reference.
+
+    Fast path (kval indexes): by the invariant k == SA[hi] the toehold is a
+    pure function of the final range, so the loop is the plain 2-gather count
+    LF and the toehold is ONE kval gather at the end (ops.rank.
+    toehold_from_range) — no per-step toehold maintenance at all.
+    """
     B, L = qcodes.shape
     dt = dx.idx_dtype
     lengths = lengths.astype(dt)
@@ -28,14 +34,17 @@ def find_ranges_w_toehold(dx: DeviceIndex, qcodes, lengths):
     hi = jnp.full(B, dx.n - 1, dtype=dt)
     # get_last_run_sample (toehold_sa.hpp:97-99)
     k0 = (dx.arrays["samples_last"][dx.R - 1] + 1) % dx.n
-    k = jnp.full(B, k0, dtype=dt)
     done = jnp.zeros(B, dtype=bool)
-    if "tk2_flat" in dx.arrays:
-        step = R.lf_step_w_loc_tk2
-    elif "tk1_flat" in dx.arrays:
-        step = R.lf_step_w_loc_occ1
-    else:
-        step = R.lf_step_w_loc
+    zero = jnp.zeros((), dtype=dt)
+
+    if "kval" in dx.arrays:
+        from rowbowt_tpu.engine.count import find_ranges
+
+        lo, hi = find_ranges(dx, qcodes, lengths, use_ftab=False)
+        return lo, hi, R.toehold_from_range(dx, lo, hi)
+
+    k = jnp.full(B, k0, dtype=dt)
+    step = R.lf_step_w_loc_occ1 if "tk1_flat" in dx.arrays else R.lf_step_w_loc
 
     def body(j, st):
         lo, hi, k, done = st
@@ -50,7 +59,6 @@ def find_ranges_w_toehold(dx: DeviceIndex, qcodes, lengths):
 
     lo, hi, k, done = jax.lax.fori_loop(0, L, body, (lo, hi, k, done))
     # a failed search clears everything (rowbowt.hpp:177-180)
-    zero = jnp.zeros((), dtype=dt)
     k = jnp.where(hi < lo, zero, k)
     return lo, hi, k
 
@@ -114,8 +122,11 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     cqs = jnp.zeros((B, C), dtype=dt)
     cqe = jnp.zeros((B, C), dtype=dt)
     ncp = jnp.zeros(B, dtype=dt)
-    if "tk2_flat" in dx.arrays:
-        step = R.lf_step_w_loc_tk2
+    defer_k = "kval" in dx.arrays  # per-checkpoint k = kval[chi] after the loop
+    if defer_k:
+        def step(dx_, lo_, hi_, c_, k_):
+            nlo, nhi = R.lf_step_occ1(dx_, lo_, hi_, c_)
+            return nlo, nhi, k_
     elif "tk1_flat" in dx.arrays:
         step = R.lf_step_w_loc_occ1
     else:
@@ -164,6 +175,8 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     cqe = put(cqe, slot, rec, m)
     ncp = ncp + fin.astype(dt)
     ncp = jnp.where(failed, 0, ncp)
+    if defer_k:
+        ck = R.toehold_from_range(dx, clo, chi)
     return clo, chi, ck, cqs, cqe, ncp
 
 

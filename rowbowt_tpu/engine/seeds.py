@@ -65,8 +65,11 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
     sqe = jnp.zeros((B, S), dtype=dt)
     ssamp = jnp.zeros((B, S), dtype=dt)
     ns = jnp.zeros(B, dtype=dt)
-    if "tk2_flat" in dx.arrays:
-        step = R.lf_step_w_loc_tk2
+    defer_k = "kval" in dx.arrays  # ssamp == SA[recorded hi]: one gather at the end
+    if defer_k:
+        def step(dx_, lo_, hi_, c_, k_):
+            nlo, nhi = R.lf_step_occ1(dx_, lo_, hi_, c_)
+            return nlo, nhi, k_
     elif "tk1_flat" in dx.arrays:
         step = R.lf_step_w_loc_occ1
     else:
@@ -113,6 +116,13 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
     sqe = _scatter_rows(sqe, slot, rec, ei)
     ssamp = _scatter_rows(ssamp, slot, rec, pk)
     ns = ns + emit.astype(dt)
+    if defer_k:
+        # toehold invariant: the sample of every recorded (slo, shi) is
+        # SA[shi] — resolved in one [B, S] kval gather instead of per-step
+        # toehold maintenance.  (Degenerate full-range records under
+        # min_length=0 get SA[n-1], the freshly-reset sample, where the
+        # reference would report the previous seed's stale sample.)
+        ssamp = R.toehold_from_range(dx, slo, shi)
     return slo, shi, sqs, sqe, ssamp, ns
 
 

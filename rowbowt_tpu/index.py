@@ -81,8 +81,9 @@ class RbtIndex:
     occ_blk: np.ndarray | None = None  # int[A, nb]: count of c before each block
     occ1: np.ndarray | None = None  # int[A, n+1]: full positional occ (1 gather/rank)
     tk1: np.ndarray | None = None  # int[A, n]: dense toehold (last-c sample at <=i; raw-input builds)
-    tk2: np.ndarray | None = None  # int[A, n]: one-gather post-LF toehold (full-SA builds)
+    kval: np.ndarray | None = None  # int[n]: SA[i] — toehold invariant k == SA[hi] (full-SA builds)
     phi1: np.ndarray | None = None  # int[n]: dense phi (1 gather per phi step)
+    lfj: np.ndarray | None = None  # int64[n, 2]: J-step LF jump rows (construct.build.build_lfj)
 
     @property
     def R(self) -> int:
@@ -115,14 +116,14 @@ class RbtIndex:
         }
         for name in ("samples_last", "pred_pos", "pred_to_run", "ltk", "ma_row",
                      "ma_val", "ma_start1", "doc_starts", "ftab", "bwt4",
-                     "occ_blk", "occ1", "tk1", "tk2", "phi1"):
+                     "occ_blk", "occ1", "tk1", "kval", "phi1", "lfj"):
             v = getattr(self, name)
             if v is not None:
                 arrs[name] = v
         np.savez(os.path.join(prefix, _ARRS_NAME), **arrs)
         meta = {
             "format": "rowbowt-tpu-index",
-            "version": 1,
+            "version": 2,  # v2: tk2 -> kval (dense SA), + lfj jump table
             "n": self.n,
             "R": self.R,
             "ma_wsize": self.ma_wsize,
@@ -167,8 +168,9 @@ class RbtIndex:
             occ_blk=get("occ_blk"),
             occ1=get("occ1"),
             tk1=get("tk1", with_sa),
-            tk2=get("tk2", with_sa),
+            kval=get("kval", with_sa),
             phi1=get("phi1", with_sa),
+            lfj=get("lfj"),
         )
 
     # ---------------- device view ----------------
@@ -208,8 +210,10 @@ class RbtIndex:
             d["occ1_flat"] = self.occ1.astype(dt).reshape(-1)
         if self.tk1 is not None and self.samples_last is not None:
             d["tk1_flat"] = self.tk1.astype(dt).reshape(-1)
-        if self.tk2 is not None and self.samples_last is not None:
-            d["tk2_flat"] = self.tk2.astype(dt).reshape(-1)
+        if self.kval is not None and self.samples_last is not None:
+            d["kval"] = self.kval.astype(dt)
         if self.phi1 is not None and self.samples_last is not None:
             d["phi1"] = self.phi1.astype(dt)
+        if self.lfj is not None:
+            d["lfj"] = self.lfj.astype(np.int64)
         return d

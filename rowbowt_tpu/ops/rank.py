@@ -279,25 +279,16 @@ def ftab_lookup(dx: DeviceIndex, kcodes):
     )
 
 
-def lf_step_w_loc_tk2(dx: DeviceIndex, lo, hi, c, k):
-    """Toehold LF at THREE gathered elements: the tk2 table folds the
-    reference's trivial/non-trivial toehold branch (rowbowt.hpp:553-573) into
-    one precomputed value — tk2[c, hi] IS the post-step toehold."""
-    arr = dx.arrays
-    n1 = dx.n + 1
-    csafe = jnp.maximum(c, 0).astype(lo.dtype)
-    o_lo = arr["occ1_flat"][csafe * n1 + jnp.clip(lo, 0, dx.n)]
-    o_hi1 = arr["occ1_flat"][csafe * n1 + jnp.clip(hi + 1, 0, dx.n)]
-    c_before = jnp.where(c < 0, 0, o_lo.astype(lo.dtype))
-    c_inside = jnp.where(c < 0, 0, (o_hi1 - o_lo).astype(lo.dtype))
-    nlo = _f_onehot(dx, c).astype(lo.dtype) + c_before
-    nhi = nlo + c_inside - 1
-    empty = (c_inside <= 0) | (c < 0)
-    nk = arr["tk2_flat"][csafe * dx.n + jnp.clip(hi, 0, dx.n - 1)]
-    one = jnp.ones((), dtype=nlo.dtype)
-    zero = jnp.zeros((), dtype=nlo.dtype)
-    return (
-        jnp.where(empty, one, nlo),
-        jnp.where(empty, zero, nhi),
-        jnp.where(empty, zero, nk.astype(lo.dtype)),
-    )
+def toehold_from_range(dx: DeviceIndex, lo, hi):
+    """Toehold of an arbitrary search state, via the invariant k == SA[hi].
+
+    Both cases of the reference's per-step LF_w_loc (rowbowt.hpp:553-573) keep
+    k equal to SA of the range's last row (trivial: SA[hi]-1 == SA[LF(hi)];
+    table: samples_last[run(j)] == SA[j]-1 == SA[new hi]), and the initial
+    get_last_run_sample (toehold_sa.hpp:97-99) is SA[n-1] — the hi of the
+    zero-step full range.  So any engine can run the plain 2-gather count LF
+    loop and resolve the toehold of its FINAL (or any recorded) range with
+    this one kval gather.  Empty ranges return 0 (rowbowt.hpp:177-180)."""
+    kv = dx.arrays["kval"]
+    k = kv[jnp.clip(hi, 0, dx.n - 1)].astype(lo.dtype)
+    return jnp.where(hi < lo, jnp.zeros((), dtype=lo.dtype), k)

@@ -37,7 +37,7 @@ def reads(text):
 def test_backend_agreement(text, reads, dense):
     idx = build_index(text, dense=dense)
     if dense:
-        assert idx.occ1 is not None and idx.tk2 is not None
+        assert idx.occ1 is not None and idx.kval is not None
     dx = DeviceIndex.from_index(idx)
     qc, lens = encode_batch(idx, reads)
     lo, hi = find_ranges(dx, qc, lens)

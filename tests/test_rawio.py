@@ -21,15 +21,20 @@ def test_raw_roundtrip(tiny_index, tmp_path):
                                       err_msg=name)
     assert idx2.doc_names == idx.doc_names
     np.testing.assert_array_equal(idx2.doc_starts, idx.doc_starts)
-    # full-SA builds carry tk2 (one-gather toehold); raw builds fall back to
-    # tk1 (run-boundary samples only) — they agree wherever BWT[i] != c,
-    # the only positions tk1's kernel consults
+    # full-SA builds carry kval (SA[i]; toehold == SA[hi]); raw builds fall
+    # back to tk1 (run-boundary samples only).  tk1[c, i] must equal
+    # (SA[j]+n-1)%n for the last j<=i with BWT[j]==c wherever BWT[i] != c —
+    # the only positions tk1's kernel consults.
     run_len = np.diff(np.append(idx.run_start, idx.n))
     codes = np.repeat(idx.run_head.astype(np.int64), run_len)
-    assert idx.tk2 is not None and idx2.tk1 is not None
+    assert idx.kval is not None and idx2.tk1 is not None
+    vals = (idx.kval.astype(np.int64) + idx.n - 1) % idx.n
+    pos = np.arange(idx.n, dtype=np.int64)
     for c in range(idx.alpha.size):
+        ff = np.maximum.accumulate(np.where(codes == c, pos, -1))
+        expect = vals[np.maximum(ff, 0)] * (ff >= 0)
         used = codes != c
-        np.testing.assert_array_equal(idx2.tk1[c][used], idx.tk2[c][used])
+        np.testing.assert_array_equal(idx2.tk1[c][used], expect[used])
 
 
 def test_raw_rebuild_queries(tiny_index, tmp_path):
