@@ -176,27 +176,35 @@ def main():
 
     flo, fhi = run_fast(0)  # warmup / compile (incl. repair bucket shapes)
     print("bench: warmup done", file=sys.stderr)
-    best = float("inf")
+    best_jump = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
         flo, fhi = run_fast(rep + 1)
-        best = min(best, time.perf_counter() - t0)
-    tpu_rps = n_done / best
-    print(f"accel: {n_done:,} reads in {best:.3f}s -> {tpu_rps:,.0f} reads/s "
-          f"(jump+repair)", file=sys.stderr)
+        best_jump = min(best_jump, time.perf_counter() - t0)
+    print(f"accel-jump+repair: {n_done:,} reads in {best_jump:.3f}s -> "
+          f"{n_done/best_jump:,.0f} reads/s", file=sys.stderr)
 
-    # exactness cross-check of the full fast path against the plain LF loop
+    # plain LF loop: exactness cross-check of the jump path AND the second
+    # timing candidate (on real TPU the host repair round-trips can make the
+    # jump path the slower of the two; the headline is the best exact path)
     out = count_all(dx, qc3, len2, 0)
     _ = int(out[2])
     slo = np.asarray(out[0]).reshape(-1)
     shi = np.asarray(out[1]).reshape(-1)
     assert (flo == slo).all() and (fhi == shi).all(), "jump path != slow path"
-    t0 = time.perf_counter()
-    out = count_all(dx, qc3, len2, 2)
-    _ = int(out[2])
-    slow_dt = time.perf_counter() - t0
-    print(f"accel-slow-LF: {n_done:,} reads in {slow_dt:.3f}s -> "
-          f"{n_done/slow_dt:,.0f} reads/s", file=sys.stderr)
+    best_plain = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = count_all(dx, qc3, len2, rep + 2)
+        _ = int(out[2])
+        best_plain = min(best_plain, time.perf_counter() - t0)
+    print(f"accel-plain-LF: {n_done:,} reads in {best_plain:.3f}s -> "
+          f"{n_done/best_plain:,.0f} reads/s", file=sys.stderr)
+    best = min(best_jump, best_plain)
+    tpu_rps = n_done / best
+    print(f"accel: best exact path -> {tpu_rps:,.0f} reads/s "
+          f"({'jump+repair' if best_jump <= best_plain else 'plain-LF'})",
+          file=sys.stderr)
     outs0 = slo[:BATCH], shi[:BATCH]
 
     # CPU baseline (single thread, native)
