@@ -92,13 +92,26 @@ def main(argv=None):
     else:
         if args.prefix is None:
             p.error("provide a raw input prefix or --fasta")
-        from rowbowt_tpu.construct.rawio import build_index_from_raw
+        import os
 
-        eprint(f"constructing from raw {args.prefix}.bwt")
-        idx = build_index_from_raw(
-            args.prefix, with_sa=args.tsa, with_docs=args.dl,
-            ftab_k=ftab_k, dense=not args.no_dense,
-        )
+        if not os.path.exists(args.prefix + ".bwt") and os.path.exists(
+                args.prefix + ".rbwt"):
+            # serialized reference index (rb_build output): .rbwt [.tsa .docs]
+            from rowbowt_tpu.construct.sdslio import load_serialized_index
+
+            eprint(f"constructing from serialized {args.prefix}.rbwt")
+            idx = load_serialized_index(
+                args.prefix, ftab_k=ftab_k, dense=not args.no_dense,
+                with_sa=args.tsa, with_docs=args.dl,
+            )
+        else:
+            from rowbowt_tpu.construct.rawio import build_index_from_raw
+
+            eprint(f"constructing from raw {args.prefix}.bwt")
+            idx = build_index_from_raw(
+                args.prefix, with_sa=args.tsa, with_docs=args.dl,
+                ftab_k=ftab_k, dense=not args.no_dense,
+            )
         out = args.out or args.prefix + ".rbtidx"
 
     idx.save(out)
