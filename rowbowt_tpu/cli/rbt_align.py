@@ -63,9 +63,12 @@ def main(argv=None):
             sizes = np.where(hi_h >= lo_h, hi_h - lo_h + 1, 0)
             mh = args.max_hits or pow2_at_least(max(int(sizes.max()), 1), floor=4)
             locs, nocc = locate(dx, lo, hi, k, max_hits=int(mh))
-            docs, offs = resolve_docs(dx, locs)
             locs, nocc = np.asarray(locs), np.asarray(nocc)
-            docs, offs = np.asarray(docs), np.asarray(offs)
+            if "doc_starts" in dx.arrays:
+                docs, offs = resolve_docs(dx, locs)
+                docs, offs = np.asarray(docs), np.asarray(offs)
+            else:  # index built without a doc list: print raw positions
+                docs, offs = np.zeros_like(locs), locs
         if args.markers:
             mvals, mcnt = markers_for_ranges(dx, lo, hi, max_k=64)
             mvals, mcnt = np.asarray(mvals), np.asarray(mcnt)

@@ -102,7 +102,7 @@ def main(argv=None):
             eprint(f"constructing from serialized {args.prefix}.rbwt")
             idx = load_serialized_index(
                 args.prefix, ftab_k=ftab_k, dense=not args.no_dense,
-                with_sa=args.tsa, with_docs=args.dl,
+                with_sa=args.tsa, with_docs=args.dl, with_ma=args.ma,
             )
         else:
             from rowbowt_tpu.construct.rawio import build_index_from_raw
@@ -110,8 +110,11 @@ def main(argv=None):
             eprint(f"constructing from raw {args.prefix}.bwt")
             idx = build_index_from_raw(
                 args.prefix, with_sa=args.tsa, with_docs=args.dl,
-                ftab_k=ftab_k, dense=not args.no_dense,
+                with_ma=args.ma, ftab_k=ftab_k, dense=not args.no_dense,
             )
+        if args.ma and idx.ma_row is None:
+            eprint(f"warning: -m requested but no {args.prefix}.mab found; "
+                   "index built without markers")
         out = args.out or args.prefix + ".rbtidx"
 
     idx.save(out)

@@ -136,6 +136,11 @@ def build_index_from_bwt(
                                           occ1.dtype)
                 phi1 = build_phi1(pred_pos, pred_to_run, samples_last, n,
                                   occ1.dtype)
+    ma_start1 = None
+    if ma_row is not None and dense and n <= OCC1_MAX_N:
+        ma_start1 = np.searchsorted(
+            ma_row, np.arange(n + 1, dtype=np.int64), side="left"
+        ).astype(np.int32 if ma_row.shape[0] < (1 << 31) else np.int64)
 
     idx = RbtIndex(
         n=n,
@@ -152,6 +157,7 @@ def build_index_from_bwt(
         ltk=ltk,
         ma_row=ma_row,
         ma_val=ma_val,
+        ma_start1=ma_start1,
         ma_wsize=ma_wsize,
         doc_starts=doc_starts.astype(np.int64) if doc_starts is not None else None,
         doc_names=doc_names,
@@ -170,8 +176,14 @@ def build_index_from_bwt(
 
 
 def build_index_from_raw(prefix: str, with_sa: bool = True, with_docs: bool = True,
-                         ftab_k: int = 0, dense: bool = True) -> RbtIndex:
-    """rb_build's input contract: <prefix>.bwt [.ssa .esa] [.docs]."""
+                         with_ma: bool = True, ftab_k: int = 0,
+                         dense: bool = True) -> RbtIndex:
+    """rb_build's input contract: <prefix>.bwt [.ssa .esa] [.docs] [.mab].
+
+    Markers load from a serialized <prefix>.mab when present (the reference's
+    rb_build -m instead consumes the pfbwt-f intermediate <prefix>.ma, a format
+    with no committed fixture anywhere in the reference; its serialized .mab
+    output is what ships and what we parse, sdslio.load_mab)."""
     bwt = read_bwt(prefix + ".bwt")
     n = int(bwt.shape[0])
     ssa = esa = None
@@ -181,7 +193,14 @@ def build_index_from_raw(prefix: str, with_sa: bool = True, with_docs: bool = Tr
     doc_names = doc_starts = None
     if with_docs and os.path.exists(prefix + ".docs"):
         doc_names, doc_starts = read_docs(prefix + ".docs")
+    ma_row = ma_val = None
+    ma_wsize = 10
+    if with_ma and os.path.exists(prefix + ".mab"):
+        from rowbowt_tpu.construct.sdslio import load_mab
+
+        ma_row, ma_val, ma_wsize = load_mab(prefix + ".mab")
     return build_index_from_bwt(
         bwt, ssa, esa, doc_names=doc_names, doc_starts=doc_starts,
+        ma_row=ma_row, ma_val=ma_val, ma_wsize=ma_wsize,
         ftab_k=ftab_k, dense=dense,
     )

@@ -131,8 +131,8 @@ def read_sd_vector(cur: _Cur) -> tuple[int, np.ndarray]:
     _skip_select_mcl(cur)  # high_1_select
     _skip_select_mcl(cur)  # high_0_select
     m = low.shape[0]
-    ones = np.flatnonzero(_bits(hw, nb))[:m]
-    if ones.shape[0] != m:
+    ones = np.flatnonzero(_bits(hw, nb))
+    if ones.shape[0] != m:  # catches both too-few AND too-many set high bits
         raise ValueError(f"sd_vector: {ones.shape[0]} high ones != {m} lows")
     upper = ones - np.arange(m, dtype=np.int64)
     return m_size, (upper << wl) | low
@@ -260,8 +260,95 @@ def load_tsa(path: str, expect_n: int | None = None
     return ssa, samples_last.astype(np.int64)
 
 
+# MarkerT bit layout, inferred from the committed fixture (the authoritative
+# header, pfbwt-f marker_array.hpp, is an empty submodule): the golden marker
+# at VCF POS 290 appears as 0x0000000000000121 (allele 0 = REF) and
+# 0x1000000000000121 (allele 1 = ALT) -> position in the low bits, allele in
+# the top nibble (bits 60-63).  The seq field (get_seq, rb_markers.cpp:229) is
+# taken as bits 40-59; the single-sequence fixture cannot pin its exact width,
+# so the split below is an assumption documented here and asserted in tests
+# only through pos/allele.
+_MAB_POS_BITS = 40
+_MAB_SEQ_BITS = 20
+
+
+def _decode_marker_t(m: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    pos = m & ((1 << _MAB_POS_BITS) - 1)
+    seq = (m >> _MAB_POS_BITS) & ((1 << _MAB_SEQ_BITS) - 1)
+    allele = (m >> 60) & 0xF
+    return seq, pos, allele
+
+
+def load_mab(path: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """Serialized pfbwt-f MarkerArray (.mab) -> (ma_row, ma_val, wsize).
+
+    The layout (reverse-engineered byte-exactly from the committed fixture
+    tests/data/small.fa.mab; consumed by rb_build -m via rowbowt_io.hpp:60-63
+    and queried by MarkerArray::at_range at rowbowt.hpp:282-290):
+
+      sd_vector   range starts  s1[i]  (BWT rows, K set bits)
+      sd_vector   range ends    s2[i]  (inclusive, K set bits)
+      u64         K  (number of ranges == number of stored markers)
+      u8          flag (1 in the fixture; meaning unknown, not needed)
+      bit_vector  scaffolding (K bits)        } rank/select acceleration of the
+      bit_vector  scaffolding (~1.7K bits)    } original; rebuilt dense here
+      select_mcl  x2 (parsed and discarded)
+      u64 count, count x u64   packed MarkerT values, one per range in order
+      u32         marker window size w
+
+    Query semantics: BWT row r carries marker i iff s1[i] <= r <= s2[i]
+    (ranges in the fixture are disjoint; overlap is handled generically).
+    Returns the expanded per-row CSR arrays in this repo's packing
+    (index.pack_marker), row-major sorted like construct.build.
+    """
+    from rowbowt_tpu.index import pack_marker
+
+    with open(path, "rb") as f:
+        cur = _Cur(f.read())
+    u1, s1 = read_sd_vector(cur)
+    u2, s2 = read_sd_vector(cur)
+    k = cur.u64()
+    cur.u8()  # flag
+    read_bit_vector_raw(cur)
+    read_bit_vector_raw(cur)
+    _skip_select_mcl(cur)
+    _skip_select_mcl(cur)
+    cnt = cur.u64()
+    vals = cur.raw_u64(cnt).astype(np.int64)
+    if cur.remaining != 4:
+        raise ValueError(f".mab: {cur.remaining} trailing bytes (expected u32 wsize)")
+    wsize = int(np.frombuffer(cur.d, "<u4", 1, cur.o)[0])
+    if not (s1.shape[0] == s2.shape[0] == k == cnt):
+        raise ValueError(
+            f".mab: inconsistent counts: starts={s1.shape[0]} ends={s2.shape[0]} "
+            f"k={k} values={cnt}")
+    if np.any(s2 < s1):
+        raise ValueError(".mab: range end < start")
+    seq, pos, allele = _decode_marker_t(vals)
+    packed = np.array([pack_marker(s, p, a) for s, p, a in
+                       zip(seq, pos, allele)], dtype=np.int64)
+    lens = (s2 - s1 + 1).astype(np.int64)
+    ma_row = np.repeat(s1, lens) + _concat_aranges(lens)
+    ma_val = np.repeat(packed, lens)
+    srt = np.lexsort((ma_val, ma_row))
+    return ma_row[srt], ma_val[srt], wsize
+
+
+def _concat_aranges(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]) ++ [0..lens[1]) ++ ... without a Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    out[ends[:-1]] = 1 - lens[:-1]
+    return np.cumsum(out)
+
+
 def load_serialized_index(prefix: str, ftab_k: int = 0, dense: bool = True,
-                          with_sa: bool = True, with_docs: bool = True):
+                          with_sa: bool = True, with_docs: bool = True,
+                          with_ma: bool = True):
     """RbtIndex from a reference-serialized index: <prefix>.rbwt [.tsa .docs].
 
     The load_rowbowt equivalent for rb_build outputs (rowbowt_io.hpp:176-189):
@@ -279,7 +366,12 @@ def load_serialized_index(prefix: str, ftab_k: int = 0, dense: bool = True,
     doc_names = doc_starts = None
     if with_docs and os.path.exists(prefix + ".docs"):
         doc_names, doc_starts = read_docs(prefix + ".docs")
+    ma_row = ma_val = None
+    ma_wsize = 10
+    if with_ma and os.path.exists(prefix + ".mab"):
+        ma_row, ma_val, ma_wsize = load_mab(prefix + ".mab")
     return build_index_from_bwt(
         bwt, ssa, esa, doc_names=doc_names, doc_starts=doc_starts,
+        ma_row=ma_row, ma_val=ma_val, ma_wsize=ma_wsize,
         ftab_k=ftab_k, dense=dense,
     )

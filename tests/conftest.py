@@ -17,13 +17,16 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-REF_DATA = "/root/reference/tests/data"
+REF_ROOT = os.environ.get("RBT_REFERENCE_ROOT", "/root/reference")
+REF_DATA = os.path.join(REF_ROOT, "tests", "data")
 
 
 @pytest.fixture(scope="session")
 def tiny_panel():
     from rowbowt_tpu.construct import build_panel
 
+    if not os.path.isdir(REF_DATA):
+        pytest.skip("reference checkout not found (set RBT_REFERENCE_ROOT)")
     return build_panel(
         os.path.join(REF_DATA, "small.fa"),
         os.path.join(REF_DATA, "small.fa.vcf.gz"),

@@ -5,7 +5,7 @@ import sys
 import numpy as np
 import pytest
 
-REF = "/root/reference/tests/data"
+from conftest import REF_DATA as REF
 
 GOLDEN_COUNTS = """\
 r1.ref (24279,24280), count=2

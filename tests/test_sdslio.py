@@ -7,13 +7,21 @@ run-boundary samples must equal (SA[boundary]-1) mod n of that recomputed SA
 committed fixtures that ship with no raw inputs (tests/greedy_seeding).
 """
 
+import os
+
 import numpy as np
 import pytest
 
 from rowbowt_tpu.construct import sdslio
 
-REF = "/root/reference/tests/data"
-GREEDY = "/root/reference/tests/greedy_seeding"
+REF_ROOT = os.environ.get("RBT_REFERENCE_ROOT", "/root/reference")
+REF = f"{REF_ROOT}/tests/data"
+GREEDY = f"{REF_ROOT}/tests/greedy_seeding"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF),
+    reason="reference checkout not found (set RBT_REFERENCE_ROOT)",
+)
 
 
 def _invert_bwt(bwt: np.ndarray) -> np.ndarray:
@@ -78,6 +86,45 @@ def test_greedy_seeding_fixture_locate():
     for read in (good, mut):
         seeds = naive.get_seeds_greedy_w_sample(idx, enc(read), 10)
         assert naive.locate_from_longest_seed(idx, 4, seeds) == [pos]
+
+
+def test_mab_marker_golden():
+    """Marker goldens (rb_tests.cpp:123-141) on an index whose markers were
+    LOADED from the reference's serialized .mab — not rebuilt from the VCF.
+    Validates the reverse-engineered MarkerArray layout end to end
+    (rowbowt_io.hpp:60-63; query path rowbowt.hpp:282-290)."""
+    from rowbowt_tpu.engine import naive
+    from rowbowt_tpu.index import marker_allele, marker_pos
+
+    idx = sdslio.load_serialized_index(f"{REF}/small.fa")
+    assert idx.ma_row is not None and idx.ma_wsize == 10
+    assert idx.ma_row.shape[0] == 300  # 190 ranges expanded per-row
+
+    def enc(s):
+        return idx.alpha.encode(np.frombuffer(s.encode(), np.uint8)).astype(np.int64)
+
+    reads = ["TATCTCCGCGATCTCCAACT", "TATATCCGCGATCTCCAACT",
+             "TGGGCTCAAAACCATGGGAT", "TGGGCTCAAAACCATGGGAT",
+             "GCCAGCAAGTCATGTCTAAT", "GCCAGCTAGTCATGTCTAAT"]
+    lfs = [naive.find_range_w_markers(idx, enc(s), 10, (1 << 62)) for s in reads]
+    assert marker_pos(lfs[0].markers[0]) == 289 and marker_allele(lfs[0].markers[0]) == 0
+    assert marker_pos(lfs[1].markers[0]) == 289 and marker_allele(lfs[1].markers[0]) == 1
+    assert len(lfs[2].markers) == 0 and len(lfs[3].markers) == 0
+    assert marker_pos(lfs[4].markers[0]) == 4650 and marker_allele(lfs[4].markers[0]) == 0
+    assert marker_pos(lfs[5].markers[0]) == 4650 and marker_allele(lfs[5].markers[0]) == 1
+
+
+def test_mab_matches_vcf_rebuild(tiny_index):
+    """Every marker VALUE in the .mab equals the VCF-rebuilt marker array;
+    row ranges agree except the documented stale-fixture shift (the committed
+    .mab predates the committed .rbwt's text layout in the low-row region —
+    166/190 ranges land on identical rows, all 190 carry identical values)."""
+    ma_row, ma_val, wsize = sdslio.load_mab(f"{REF}/small.fa.mab")
+    assert wsize == 10
+    assert np.array_equal(np.sort(ma_val), np.sort(tiny_index.ma_val))
+    same = np.intersect1d(
+        np.unique(ma_row), np.unique(tiny_index.ma_row)).shape[0]
+    assert same >= 250  # 300 rows, stale shift affects < 50
 
 
 def test_serialized_matches_batched_engine():

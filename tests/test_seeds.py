@@ -1,5 +1,7 @@
 """Batched greedy seeding vs the reference-exact naive engine."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -11,6 +13,8 @@ from rowbowt_tpu.engine.seeds import (
     markers_greedy_seeding,
     seeds_greedy_w_sample,
 )
+
+from conftest import REF_DATA
 
 
 def _error_reads(idx, text, n, rng, minlen=20, maxlen=60, nerr=2):
@@ -91,7 +95,7 @@ def test_markers_greedy_seeding(tiny_index_ftab, use_ftab):
     # add reads guaranteed to match: decode BWT rows back is complex; instead
     # use locate on random reads is fine — random 15-40mers rarely match, so
     # also pull substrings from the reference FASTA
-    with open("/root/reference/tests/data/small.fa") as f:
+    with open(os.path.join(REF_DATA, "small.fa")) as f:
         seq = "".join(l.strip() for l in f if not l.startswith(">"))
     for _ in range(24):
         L = int(rng.integers(15, 60))
@@ -131,7 +135,7 @@ def test_markers_lmem(tiny_index_ftab):
     idx = tiny_index_ftab
     rng = np.random.default_rng(5)
     acgt = np.frombuffer(b"ACGT", np.uint8)
-    with open("/root/reference/tests/data/small.fa") as f:
+    with open(os.path.join(REF_DATA, "small.fa")) as f:
         seq = "".join(l.strip() for l in f if not l.startswith(">"))
     reads = []
     for _ in range(8):
@@ -198,7 +202,7 @@ def test_overlap_seeding_runs(tiny_index_ftab):
     """Overlap seeding (reference-disabled) at least runs and emits seeds on
     clean reads; livelock pathology raises instead of hanging."""
     idx = tiny_index_ftab
-    with open("/root/reference/tests/data/small.fa") as f:
+    with open(os.path.join(REF_DATA, "small.fa")) as f:
         seq = "".join(l.strip() for l in f if not l.startswith(">"))
     codes = idx.alpha.encode(
         np.frombuffer(seq[1000:1060].encode(), np.uint8)).astype(np.int64)
