@@ -39,10 +39,14 @@ def _build_or_load_index():
     from rowbowt_tpu.index import RbtIndex
 
     if os.path.exists(os.path.join(CACHE, "rbt_meta.json")):
-        idx = RbtIndex.load(CACHE)
-        if idx.lfj is not None and idx.kval is not None and idx.ftab is not None:
-            return idx
-        print("bench: stale index cache (pre-lfj format); rebuilding", file=sys.stderr)
+        import json as _json
+        with open(os.path.join(CACHE, "rbt_meta.json")) as f:
+            ver = _json.load(f).get("version", 0)
+        if ver >= 3:
+            idx = RbtIndex.load(CACHE)
+            if idx.kval is not None and idx.ftab is not None:
+                return idx
+        print("bench: stale index cache; rebuilding", file=sys.stderr)
     from rowbowt_tpu.alphabet import SEP_BYTE, TERM_BYTE
     from rowbowt_tpu.construct.build import build_index
     from rowbowt_tpu.construct.panel import Marker
@@ -121,8 +125,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     print("bench: jax ready", file=sys.stderr)
 
-    from rowbowt_tpu.engine.batch import encode_batch
-    from rowbowt_tpu.engine.count import find_ranges, find_ranges_jump, repair_ranges
+    from rowbowt_tpu.engine.count import find_ranges
     from rowbowt_tpu.engine.device import DeviceIndex
 
     idx = _build_or_load_index()
@@ -155,56 +158,21 @@ def main():
         _, (lo, hi) = jax.lax.scan(step, None, (qc3, len2 + salt - salt))
         return lo, hi, jax.numpy.sum(lo) + jax.numpy.sum(hi)
 
-    @jax.jit
-    def count_all_jump(dx, qc3, len2, salt):
-        def step(_, xs):
-            qc, ln = xs
-            return None, find_ranges_jump(dx, qc, ln)
-        _, (lo, hi, brk, jb) = jax.lax.scan(step, None, (qc3, len2 + salt - salt))
-        return lo, hi, brk, jb
-
     n_done = nb * BATCH
-    qflat = qcodes[:n_done].astype(np.int32)
-    lflat = lengths[:n_done].astype(np.int64)
-
-    def run_fast(salt):
-        """Jump fast path + resume repair: end-to-end exact counts."""
-        lo, hi, brk, jb = count_all_jump(dx, qc3, len2, salt)
-        lo, hi, brk, jb = (np.asarray(x).reshape(-1) for x in (lo, hi, brk, jb))
-        return repair_ranges(dx, qflat, lflat, lo.copy(), hi.copy(),
-                             brk.copy(), jb)
-
-    flo, fhi = run_fast(0)  # warmup / compile (incl. repair bucket shapes)
-    print("bench: warmup done", file=sys.stderr)
-    best_jump = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        flo, fhi = run_fast(rep + 1)
-        best_jump = min(best_jump, time.perf_counter() - t0)
-    print(f"accel-jump+repair: {n_done:,} reads in {best_jump:.3f}s -> "
-          f"{n_done/best_jump:,.0f} reads/s", file=sys.stderr)
-
-    # plain LF loop: exactness cross-check of the jump path AND the second
-    # timing candidate (on real TPU the host repair round-trips can make the
-    # jump path the slower of the two; the headline is the best exact path)
-    out = count_all(dx, qc3, len2, 0)
+    out = count_all(dx, qc3, len2, 0)  # warmup / compile
     _ = int(out[2])
     slo = np.asarray(out[0]).reshape(-1)
     shi = np.asarray(out[1]).reshape(-1)
-    assert (flo == slo).all() and (fhi == shi).all(), "jump path != slow path"
-    best_plain = float("inf")
+    print("bench: warmup done", file=sys.stderr)
+    best = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        out = count_all(dx, qc3, len2, rep + 2)
+        out = count_all(dx, qc3, len2, rep + 1)
         _ = int(out[2])
-        best_plain = min(best_plain, time.perf_counter() - t0)
-    print(f"accel-plain-LF: {n_done:,} reads in {best_plain:.3f}s -> "
-          f"{n_done/best_plain:,.0f} reads/s", file=sys.stderr)
-    best = min(best_jump, best_plain)
+        best = min(best, time.perf_counter() - t0)
     tpu_rps = n_done / best
-    print(f"accel: best exact path -> {tpu_rps:,.0f} reads/s "
-          f"({'jump+repair' if best_jump <= best_plain else 'plain-LF'})",
-          file=sys.stderr)
+    print(f"accel LF loop: {n_done:,} reads in {best:.3f}s -> "
+          f"{tpu_rps:,.0f} reads/s", file=sys.stderr)
     outs0 = slo[:BATCH], shi[:BATCH]
 
     # CPU baseline (single thread, native)

@@ -63,46 +63,12 @@ def build_dense_tables(codes: np.ndarray, A: int):
     return bwt4, occ_blk
 
 
-LFJ_J = 10  # LF steps per jump-table hop (divides the default marker wsize)
-
-
-def build_lfj(codes: np.ndarray, occ1: np.ndarray, F: np.ndarray,
-              J: int = LFJ_J) -> np.ndarray:
-    """Run-jump table: J chained LF steps in one gathered row.
-
-    When a search range [lo, lo+sz) lies inside a single BWT run, LF with the
-    run's char maps it to the contiguous [LF(lo), LF(lo)+sz) — size preserved,
-    no rank needed.  lfj[i] packs, for the J-step LF path from row i:
-
-      word0 bits 0..31   LF^J(i)
-      word0 bits 32..39  min over hops t of dist-to-run-end(LF^t(i)), cap 255
-      word0 bits 40..63  path chars 0..5   (4 bits each; char t = BWT[LF^t(i)])
-      word1 bits 0..15   path chars 6..9
-
-    A lane whose packed next-J read chars equal the path chars, and whose
-    range size sz satisfies sz-1 <= min_dist, advances J exact backward-search
-    steps with ONE gather (engine.count.find_ranges_jump); anything else is
-    replayed through the exact slow path.
-    """
-    n = codes.shape[0]
-    idx = np.arange(n, dtype=np.int64)
-    lf = (F[codes] + occ1[codes, idx]).astype(np.int64)
-    change = np.flatnonzero(np.diff(codes) != 0) + 1
-    run_id = np.zeros(n, dtype=np.int64)
-    run_id[change] = 1
-    run_id = np.cumsum(run_id)
-    run_end = (np.append(change, n) - 1)[run_id]
-    dist = np.minimum(run_end - idx, 255)
-    row = idx
-    chars = np.zeros(n, dtype=np.int64)
-    mind = np.full(n, 255, dtype=np.int64)
-    for t in range(J):
-        chars |= codes[row].astype(np.int64) << (4 * t)
-        np.minimum(mind, dist[row], out=mind)
-        row = lf[row]
-    w0 = row | (mind << 32) | ((chars & 0xFFFFFF) << 40)
-    w1 = chars >> 24
-    return np.stack([w0, w1], axis=1)
+# NOTE: a run-jump LF table (J=10 chained LF steps per gathered row, with
+# host-side repair of lanes leaving the single-run regime) was built and
+# benchmarked in round 1 and DELETED: on TPU v5e the host repair round-trips
+# made it 22x SLOWER than the plain 2-gather LF loop (14,681 vs 331,608
+# reads/s, BENCH_r01.json) while doubling index HBM (16 bytes/symbol).
+# See DESIGN.md "negative results".
 
 
 def core_tables(codes: np.ndarray, A: int):
@@ -252,12 +218,11 @@ def build_index(
             ma_row, np.arange(n + 1, dtype=np.int64), side="left"
         ).astype(np.int32 if ma_row.shape[0] < (1 << 31) else np.int64)
 
-    bwt4 = occ_blk = occ1 = kval = phi1 = lfj = None
+    bwt4 = occ_blk = occ1 = kval = phi1 = None
     if dense and A <= 16:
         bwt4, occ_blk = build_dense_tables(codes, A)
         if n <= OCC1_MAX_N:
             occ1 = build_occ1(codes, A)
-            lfj = build_lfj(codes, occ1, F)
             if with_sa_samples:
                 # kval[i] = SA[i]: the toehold invariant through LF_w_loc
                 # (rowbowt.hpp:553-573) is k == SA[hi] — both the trivial k-1
@@ -292,7 +257,6 @@ def build_index(
         occ1=occ1,
         kval=kval,
         phi1=phi1,
-        lfj=lfj,
     )
     if ftab_k:
         from rowbowt_tpu.engine.naive import build_ftab_dense

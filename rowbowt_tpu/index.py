@@ -83,7 +83,6 @@ class RbtIndex:
     tk1: np.ndarray | None = None  # int[A, n]: dense toehold (last-c sample at <=i; raw-input builds)
     kval: np.ndarray | None = None  # int[n]: SA[i] — toehold invariant k == SA[hi] (full-SA builds)
     phi1: np.ndarray | None = None  # int[n]: dense phi (1 gather per phi step)
-    lfj: np.ndarray | None = None  # int64[n, 2]: J-step LF jump rows (construct.build.build_lfj)
 
     @property
     def R(self) -> int:
@@ -116,14 +115,14 @@ class RbtIndex:
         }
         for name in ("samples_last", "pred_pos", "pred_to_run", "ltk", "ma_row",
                      "ma_val", "ma_start1", "doc_starts", "ftab", "bwt4",
-                     "occ_blk", "occ1", "tk1", "kval", "phi1", "lfj"):
+                     "occ_blk", "occ1", "tk1", "kval", "phi1"):
             v = getattr(self, name)
             if v is not None:
                 arrs[name] = v
         np.savez(os.path.join(prefix, _ARRS_NAME), **arrs)
         meta = {
             "format": "rowbowt-tpu-index",
-            "version": 2,  # v2: tk2 -> kval (dense SA), + lfj jump table
+            "version": 3,  # v3: lfj jump table removed (negative result, DESIGN.md)
             "n": self.n,
             "R": self.R,
             "ma_wsize": self.ma_wsize,
@@ -170,7 +169,6 @@ class RbtIndex:
             tk1=get("tk1", with_sa),
             kval=get("kval", with_sa),
             phi1=get("phi1", with_sa),
-            lfj=get("lfj"),
         )
 
     # ---------------- device view ----------------
@@ -214,6 +212,4 @@ class RbtIndex:
             d["kval"] = self.kval.astype(dt)
         if self.phi1 is not None and self.samples_last is not None:
             d["phi1"] = self.phi1.astype(dt)
-        if self.lfj is not None:
-            d["lfj"] = self.lfj.astype(np.int64)
         return d
