@@ -72,6 +72,12 @@ def main(argv=None):
         if args.markers:
             mvals, mcnt = markers_for_ranges(dx, lo, hi, max_k=64)
             mvals, mcnt = np.asarray(mvals), np.asarray(mcnt)
+            if mcnt.max(initial=0) > mvals.shape[1]:
+                # the reference prints EVERY marker in the range
+                # (rb_align.cpp:137-144) — re-probe at the batch's true width
+                mk = pow2_at_least(int(mcnt.max()), floor=64)
+                mvals, mcnt = markers_for_ranges(dx, lo, hi, max_k=mk)
+                mvals, mcnt = np.asarray(mvals), np.asarray(mcnt)
 
         for b, name in enumerate(names):
             s, e = int(lo_h[b]), int(hi_h[b])
@@ -90,7 +96,7 @@ def main(argv=None):
                 if n_m == 0:
                     parts.append("no markers (consider building the marker "
                                  "array with a larger window size)")
-                for j in range(min(n_m, 64)):
+                for j in range(n_m):
                     m = np.int64(mvals[b, j])
                     parts.append(f"{int(marker_pos(m))}/{int(marker_allele(m))} ")
                 out.write("".join(parts) + "\n")

@@ -118,6 +118,12 @@ def main(argv=None):
         out = args.out or args.prefix + ".rbtidx"
 
     idx.save(out)
+    if idx.ftab is not None:
+        # also emit the reference's text serialization ("kmer s e" lines,
+        # ftab.hpp:30-34) so the reference's rb_align can consume our ftab
+        from rowbowt_tpu.construct.rawio import write_ftab_text
+
+        write_ftab_text(idx.ftab, idx.ftab_k, out.rstrip("/") + ".ftab")
     eprint(f"built index (n={idx.n}, R={idx.R}) -> {out} in {t.lap():.2f}s")
     return 0
 

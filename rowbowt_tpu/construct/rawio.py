@@ -89,6 +89,58 @@ def write_raw(idx: RbtIndex, prefix: str) -> None:
                 f.write(f"{name} {int(pos)}\n")
 
 
+_FTAB_LETTERS = b"ACGT"  # digit d of a kmer code <-> _FTAB_LETTERS[d]
+
+
+def write_ftab_text(ftab: np.ndarray, k: int, path: str) -> None:
+    """Emit the reference's text ftab: one "kmer s e" line per present entry
+    (FTab::serialize, ftab.hpp:30-34).  Ascending kmer-code order equals the
+    std::map's lexicographic order because A<C<G<T byte-order matches the
+    big-endian 2-bit code order."""
+    present = np.flatnonzero(ftab[:, 0] >= 0)
+    shifts = 2 * np.arange(k - 1, -1, -1, dtype=np.int64)
+    digits = (present[:, None].astype(np.int64) >> shifts) & 3
+    kmers = np.frombuffer(_FTAB_LETTERS, dtype=np.uint8)[digits]
+    with open(path, "w") as f:
+        for row, code in enumerate(present):
+            f.write(f"{kmers[row].tobytes().decode()} "
+                    f"{int(ftab[code, 0])} {int(ftab[code, 1])}\n")
+
+
+def read_ftab_text(path: str) -> tuple[np.ndarray, int]:
+    """Parse the reference's text ftab (FTab::load, ftab.hpp:15-28) into the
+    dense [4^k, 2] device table (absent kmers = -1).  k is inferred from the
+    kmer strings, like the reference's `k = kmer.size()`."""
+    code_of = np.full(256, -1, dtype=np.int64)
+    for d, b in enumerate(_FTAB_LETTERS):
+        code_of[b] = d
+    k = None
+    entries = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            kmer, s, e = parts[0], int(parts[1]), int(parts[2])
+            if k is None:
+                k = len(kmer)
+            elif len(kmer) != k:
+                raise ValueError(f"inconsistent kmer length in {path}")
+            digs = code_of[np.frombuffer(kmer.encode(), dtype=np.uint8)]
+            if (digs < 0).any():
+                raise ValueError(f"non-ACGT kmer {kmer!r} in {path}")
+            code = 0
+            for d in digs:
+                code = code * 4 + int(d)
+            entries.append((code, s, e))
+    if k is None:
+        raise ValueError(f"empty ftab file {path}")
+    ftab = np.full((4 ** k, 2), -1, dtype=np.int64)
+    for code, s, e in entries:
+        ftab[code] = (s, e)
+    return ftab, k
+
+
 def build_index_from_bwt(
     bwt: np.ndarray,
     ssa: np.ndarray | None = None,
@@ -199,8 +251,18 @@ def build_index_from_raw(prefix: str, with_sa: bool = True, with_docs: bool = Tr
         from rowbowt_tpu.construct.sdslio import load_mab
 
         ma_row, ma_val, ma_wsize = load_mab(prefix + ".mab")
-    return build_index_from_bwt(
+    # a reference-written text ftab takes precedence over rebuilding
+    # (load_rowbowt's FT flag reads <prefix>.ftab, rowbowt_io.hpp:176-189)
+    ftab = None
+    if ftab_k and os.path.exists(prefix + ".ftab"):
+        ftab, ftab_file_k = read_ftab_text(prefix + ".ftab")
+        ftab_k = ftab_file_k
+    idx = build_index_from_bwt(
         bwt, ssa, esa, doc_names=doc_names, doc_starts=doc_starts,
         ma_row=ma_row, ma_val=ma_val, ma_wsize=ma_wsize,
-        ftab_k=ftab_k, dense=dense,
+        ftab_k=0 if ftab is not None else ftab_k, dense=dense,
     )
+    if ftab is not None:
+        idx.ftab = ftab
+        idx.ftab_k = ftab_k
+    return idx

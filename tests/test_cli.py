@@ -118,3 +118,33 @@ def test_markers_cli_lmem(built_index, capsys):
     assert out and all(len(l.split()) >= 6 for l in out)
     r1s = [l for l in out if l.startswith("r1.sample0.0") and "/289/1" in l]
     assert r1s, out[:8]
+
+
+def test_align_markers_no_truncation(tmp_path, capsys):
+    """rb_align prints EVERY marker in the range (rb_align.cpp:137-144); a
+    range with more than the first probe's 64 slots must re-probe, not clip."""
+    from rowbowt_tpu.alphabet import TERM_BYTE
+    from rowbowt_tpu.cli import rbt_align
+    from rowbowt_tpu.construct.build import build_index
+    from rowbowt_tpu.construct.panel import Marker
+    from rowbowt_tpu.engine import naive
+
+    rng_ = np.random.default_rng(3)
+    seq = rng_.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=600)
+    text = np.concatenate([seq, np.array([TERM_BYTE], dtype=np.uint8)])
+    w = 7
+    markers = [Marker(text_pos=int(p), seq=0, pos=int(p), allele=0)
+               for p in rng_.choice(600, size=120, replace=False)]
+    idx = build_index(text, markers=markers, ma_wsize=w)
+    pre = str(tmp_path / "dense.idx")
+    idx.save(pre)
+    # a 1bp query covers ~n/4 rows -> far more than 64 marker entries
+    q = tmp_path / "q.fq"
+    q.write_text("@tiny\nA\n+\nI\n")
+    assert rbt_align.main([pre, str(q), "-m"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    rng = [int(x) for x in out[0].split("(")[1].split(")")[0].split(",")]
+    want = naive.markers_at_range(idx, rng[0], rng[1])
+    got = out[1].split()[1:]
+    assert len(want) > 64, "fixture no longer exercises overflow"
+    assert len(got) == len(want)

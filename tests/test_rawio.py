@@ -47,3 +47,35 @@ def test_raw_rebuild_queries(tiny_index, tmp_path):
     assert naive.find_range(idx2, codes) == (24279, 24280)
     rn, k = naive.find_range_w_toehold(idx2, codes)
     assert naive.locate_range(idx2, *rn, k, 8) == [20306, 286]
+
+
+def test_ftab_text_roundtrip(tiny_index_ftab, tmp_path):
+    """Reference text-ftab interop ("kmer s e" lines, ftab.hpp:30-34)."""
+    from rowbowt_tpu.construct.rawio import read_ftab_text, write_ftab_text
+
+    idx = tiny_index_ftab
+    path = str(tmp_path / "small.ftab")
+    write_ftab_text(idx.ftab, idx.ftab_k, path)
+    with open(path) as f:
+        lines = f.read().splitlines()
+    # std::map order: lexicographically ascending kmers, space-separated ints
+    kmers = [l.split()[0] for l in lines]
+    assert kmers == sorted(kmers)
+    assert all(len(km) == idx.ftab_k and set(km) <= set("ACGT") for km in kmers)
+    assert len(lines) == int((idx.ftab[:, 0] >= 0).sum())
+    ftab2, k2 = read_ftab_text(path)
+    assert k2 == idx.ftab_k
+    np.testing.assert_array_equal(ftab2, idx.ftab)
+
+
+def test_raw_build_consumes_text_ftab(tiny_index_ftab, tmp_path):
+    """A reference-written <prefix>.ftab is loaded instead of rebuilt."""
+    from rowbowt_tpu.construct.rawio import write_ftab_text
+
+    idx = tiny_index_ftab
+    prefix = str(tmp_path / "small")
+    write_raw(idx, prefix)
+    write_ftab_text(idx.ftab, idx.ftab_k, prefix + ".ftab")
+    idx2 = build_index_from_raw(prefix, ftab_k=idx.ftab_k)
+    assert idx2.ftab_k == idx.ftab_k
+    np.testing.assert_array_equal(idx2.ftab, idx.ftab)

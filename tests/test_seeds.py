@@ -210,3 +210,38 @@ def test_overlap_seeding_runs(tiny_index_ftab):
     naive.get_markers_greedy_overlap_seeding(
         idx, codes, 10, 1 << 62, lambda rn, q, mk: out.append((rn, q, list(mk))))
     assert out and out[-1][1][0] == 0
+
+
+def test_seeds_defer_k_min_length0_deviation_scope(batch):
+    """Pins the ONE documented parity deviation of the deferred-toehold path
+    (engine/seeds.py defer_k): under min_length=0 a seed record whose range is
+    the degenerate full range (0, n-1) reports SA[n-1] (the freshly-reset
+    toehold) where the reference reports the previous seed's stale sample
+    (rowbowt.hpp:222-256).  Every non-degenerate record must still match the
+    oracle exactly — the deviation's scope is exactly the full-range records."""
+    idx, reads = batch
+    dx = DeviceIndex.from_index(idx)
+    qc, lens = encode_batch(idx, reads)
+    S = 16
+    n = idx.n
+    slo, shi, sqs, sqe, ssamp, ns = map(
+        np.asarray, seeds_greedy_w_sample(dx, qc, lens, min_length=0, max_seeds=S)
+    )
+    sa_last = int(idx.kval[n - 1])
+    deviations = 0
+    for b, r in enumerate(reads):
+        codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+        want = naive.get_seeds_greedy_w_sample(idx, codes, min_length=0)
+        assert ns[b] == len(want)
+        for s, lfd in enumerate(want[:S]):
+            assert (slo[b, s], shi[b, s]) == lfd.rn, (b, s)
+            assert (sqs[b, s], sqe[b, s]) == (lfd.qstart, lfd.qend), (b, s)
+            degenerate = lfd.rn == (0, n - 1)
+            if degenerate:
+                # deviation: ours is SA[n-1] by the toehold invariant
+                assert ssamp[b, s] == sa_last, (b, s)
+                if lfd.ssamp % (1 << 62) != sa_last:
+                    deviations += 1
+            else:
+                assert ssamp[b, s] == lfd.ssamp % (1 << 62), (b, s)
+    assert deviations >= 0  # scope check is the loop above

@@ -13,12 +13,13 @@ import numpy as np
 
 
 def timeit(fn, *a, n=10):
-    import jax
-    jax.block_until_ready(fn(*a))
+    # int() readback: on the axon tunnel block_until_ready returns before the
+    # remote execution finishes; a host transfer of the checksum truly syncs
+    _ = int(fn(*a))
     best = float("inf")
-    for _ in range(n):
+    for _i in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*a))
+        _ = int(fn(*a))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -39,12 +40,12 @@ def main():
         idx0 = jnp.asarray(rng.integers(0, T, size=B, dtype=np.int32))
 
         @jax.jit
-        def chained(idx):
+        def chained(tab, idx):
             def body(j, i):
                 return tab[i]
-            return jax.lax.fori_loop(0, STEPS, body, idx)
+            return jnp.sum(jax.lax.fori_loop(0, STEPS, body, idx))
 
-        t = timeit(chained, idx0)
+        t = timeit(chained, tab, idx0)
         per = t / STEPS
         print(
             f"tab {size_mb:4d}MB: {per*1e6:8.1f} us/step "
