@@ -46,7 +46,11 @@ def main(argv=None):
     load_s = t_load.lap()
 
     from rowbowt_tpu.engine.count import find_ranges
-    from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate, resolve_docs
+    import jax.numpy as jnp
+
+    from rowbowt_tpu.engine.locate import (
+        find_ranges_w_toehold, locate_ragged, resolve_docs,
+    )
     from rowbowt_tpu.engine.markers import markers_for_ranges
 
     out = sys.stdout
@@ -58,17 +62,15 @@ def main(argv=None):
             lo, hi = find_ranges(dx, qc, lens)
         lo_h, hi_h = np.asarray(lo), np.asarray(hi)
         if args.sam:
-            # the reference locates the WHOLE range (max_hits = -1); batch cap
-            # = largest range in this batch unless the user capped it
-            sizes = np.where(hi_h >= lo_h, hi_h - lo_h + 1, 0)
-            mh = args.max_hits or pow2_at_least(max(int(sizes.max()), 1), floor=4)
-            locs, nocc = locate(dx, lo, hi, k, max_hits=int(mh))
-            locs, nocc = np.asarray(locs), np.asarray(nocc)
-            if "doc_starts" in dx.arrays:
-                docs, offs = resolve_docs(dx, locs)
-                docs, offs = np.asarray(docs), np.asarray(offs)
+            # the reference locates the WHOLE range (max_hits = -1); the
+            # bucketed ragged walk allocates O(total hits), so one huge-range
+            # lane no longer inflates the whole batch
+            flat, foffs = locate_ragged(dx, lo, hi, k, max_hits=args.max_hits)
+            if "doc_starts" in dx.arrays and flat.size:
+                fdocs, fdoff = resolve_docs(dx, jnp.asarray(flat))
+                fdocs, fdoff = np.asarray(fdocs), np.asarray(fdoff)
             else:  # index built without a doc list: print raw positions
-                docs, offs = np.zeros_like(locs), locs
+                fdocs, fdoff = np.zeros_like(flat), flat
         if args.markers:
             mvals, mcnt = markers_for_ranges(dx, lo, hi, max_k=64)
             mvals, mcnt = np.asarray(mvals), np.asarray(mcnt)
@@ -85,10 +87,10 @@ def main(argv=None):
             out.write(f"{name} ({s},{e}), count={cnt}\n")
             if args.sam:
                 parts = ["\tlocs: "]
-                for j in range(int(nocc[b])):
-                    l = int(locs[b, j])
-                    dn = idx.doc_names[int(docs[b, j])] if idx.doc_names else "?"
-                    parts.append(f"{l}/{dn}:{int(offs[b, j])} ")
+                for j in range(int(foffs[b]), int(foffs[b + 1])):
+                    l = int(flat[j])
+                    dn = idx.doc_names[int(fdocs[j])] if idx.doc_names else "?"
+                    parts.append(f"{l}/{dn}:{int(fdoff[j])} ")
                 out.write("".join(parts) + "\n")
             if args.markers:
                 parts = ["\tmarkers: "]

@@ -86,6 +86,64 @@ def locate(dx: DeviceIndex, lo, hi, k, max_hits: int):
     return locs, n_occ
 
 
+def _pow2_at_least(x: int, floor: int) -> int:
+    v = floor
+    while v < x:
+        v <<= 1
+    return v
+
+
+def locate_ragged(dx: DeviceIndex, lo, hi, k, max_hits: int | None = None):
+    """Ragged phi walk: O(total hits) output, not O(B * max range).
+
+    The reference streams each occurrence as the phi chain produces it
+    (toehold_sa.hpp:37-49) — fan-out is naturally ragged.  The batched
+    equivalent buckets lanes by range size (pow2 widths, pow2-padded lane
+    counts, so jit specializations stay O(log^2)) and phi-walks each bucket at
+    its own width; one 10^5-occurrence lane no longer inflates every lane's
+    row.  Returns (flat [total] int64 positions, offsets [B+1]): lane b's
+    occurrences, toehold first then the phi chain, are flat[offsets[b]:
+    offsets[b+1]].
+    """
+    import numpy as np
+
+    lo_h = np.asarray(lo)
+    hi_h = np.asarray(hi)
+    k_h = np.asarray(k)
+    B = lo_h.shape[0]
+    sizes = np.where(hi_h >= lo_h, hi_h - lo_h + 1, 0).astype(np.int64)
+    if max_hits is not None:
+        sizes = np.minimum(sizes, max_hits)
+    offsets = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    flat = np.full(int(offsets[-1]), -1, dtype=np.int64)
+    if offsets[-1] == 0:
+        return flat, offsets
+
+    buckets = np.zeros(B, dtype=np.int64)
+    nz = sizes > 0
+    buckets[nz] = 1 << np.maximum(
+        (np.ceil(np.log2(sizes[nz])).astype(np.int64)), 2)
+    dt = lo_h.dtype
+    for w in np.unique(buckets[nz]):
+        lanes = np.flatnonzero(buckets == w)
+        P = _pow2_at_least(len(lanes), 8)
+        blo = np.ones(P, dtype=dt)
+        bhi = np.zeros(P, dtype=dt)
+        bk = np.zeros(P, dtype=dt)
+        blo[: len(lanes)] = lo_h[lanes]
+        bhi[: len(lanes)] = hi_h[lanes]
+        bk[: len(lanes)] = k_h[lanes]
+        locs, _ = locate(dx, jnp.asarray(blo), jnp.asarray(bhi),
+                         jnp.asarray(bk), max_hits=int(w))
+        locs = np.asarray(locs)[: len(lanes)]
+        bs = sizes[lanes]
+        mask = np.arange(int(w), dtype=np.int64)[None, :] < bs[:, None]
+        dest = (offsets[lanes][:, None] + np.arange(int(w), dtype=np.int64)[None, :])[mask]
+        flat[dest] = locs[mask]
+    return flat, offsets
+
+
 @jax.jit
 def resolve_docs(dx: DeviceIndex, locs):
     """Batched DocList resolve: (doc_id, offset) for a [B, K] position table."""

@@ -132,3 +132,32 @@ def test_ftab_jax_path(tiny_index_ftab):
             (27180, 27182), (24279, 24280)]
     assert [(int(a), int(b)) for a, b in zip(np.asarray(lo), np.asarray(hi))] == want
     assert [(int(a), int(b)) for a, b in zip(np.asarray(lo2), np.asarray(hi2))] == want
+
+
+def test_locate_ragged(rand_index):
+    """Bucketed ragged locate: O(total) output, parity with the oracle's
+    per-occurrence phi chain, huge-range lanes don't inflate small lanes."""
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate_ragged
+
+    idx, text = rand_index
+    dx = DeviceIndex.from_index(idx)
+    # mixed batch: unique 20-mers, a repeated 4-mer, and a 1-mer (huge range)
+    reads = [bytes(text[50:70]), bytes(text[400:420]), b"ACGT", b"A",
+             b"ZZZZ"]  # last one: empty range
+    qc, lens = encode_batch(idx, reads)
+    lo, hi, k = find_ranges_w_toehold(dx, qc, lens)
+    flat, offs = locate_ragged(dx, lo, hi, k)
+    lo_h, hi_h, k_h = map(np.asarray, (lo, hi, k))
+    sizes = np.where(hi_h >= lo_h, hi_h - lo_h + 1, 0)
+    assert flat.shape[0] == sizes.sum()  # O(total hits), not O(B*max)
+    np.testing.assert_array_equal(np.diff(offs), sizes)
+    for b in range(len(reads)):
+        want = naive.locate_range(idx, int(lo_h[b]), int(hi_h[b]), int(k_h[b]),
+                                  int(sizes[b])) if sizes[b] else []
+        np.testing.assert_array_equal(flat[offs[b]:offs[b + 1]], want, err_msg=str(b))
+    # capped variant
+    flat4, offs4 = locate_ragged(dx, lo, hi, k, max_hits=4)
+    np.testing.assert_array_equal(np.diff(offs4), np.minimum(sizes, 4))
+    for b in range(len(reads)):
+        np.testing.assert_array_equal(
+            flat4[offs4[b]:offs4[b + 1]], flat[offs[b]:offs[b] + min(int(sizes[b]), 4)])
