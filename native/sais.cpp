@@ -5,6 +5,8 @@
 //
 // Convention: the input text is mapped to values in [1, K); a unique sentinel 0
 // is appended internally at each recursion level.  O(n) time, O(n) extra space.
+// Templated on the index type: int32 for n < 2^31 (half the memory traffic of
+// the induce passes — the hot loops are random-access bound), int64 beyond.
 
 #include <algorithm>
 #include <cstdint>
@@ -17,75 +19,76 @@ using i64 = int64_t;
 
 // T: values in [0, K), with T[n-1] == 0 the unique smallest sentinel.
 // SA: output, size n.
-void sais_rec(const i64* T, i64* SA, i64 n, i64 K) {
+template <class I>
+void sais_rec(const I* T, I* SA, I n, I K) {
   if (n == 1) {
     SA[0] = 0;
     return;
   }
-  std::vector<bool> stype(n);
-  stype[n - 1] = true;
-  for (i64 i = n - 2; i >= 0; --i)
+  std::vector<uint8_t> stype(n);
+  stype[n - 1] = 1;
+  for (I i = n - 2; i >= 0; --i)
     stype[i] = T[i] < T[i + 1] || (T[i] == T[i + 1] && stype[i + 1]);
 
-  auto is_lms = [&](i64 i) { return i > 0 && stype[i] && !stype[i - 1]; };
+  auto is_lms = [&](I i) { return i > 0 && stype[i] && !stype[i - 1]; };
 
-  std::vector<i64> C(K), B(K);
-  for (i64 i = 0; i < n; ++i) C[T[i]]++;
+  std::vector<I> C(K), B(K);
+  for (I i = 0; i < n; ++i) C[T[i]]++;
   auto bkt_heads = [&] {
-    i64 sum = 0;
-    for (i64 k = 0; k < K; ++k) { B[k] = sum; sum += C[k]; }
+    I sum = 0;
+    for (I k = 0; k < K; ++k) { B[k] = sum; sum += C[k]; }
   };
   auto bkt_tails = [&] {
-    i64 sum = 0;
-    for (i64 k = 0; k < K; ++k) { sum += C[k]; B[k] = sum; }
+    I sum = 0;
+    for (I k = 0; k < K; ++k) { sum += C[k]; B[k] = sum; }
   };
 
-  auto induce = [&](const std::vector<i64>& lms_ordered) {
-    std::fill(SA, SA + n, -1);
+  auto induce = [&](const std::vector<I>& lms_ordered) {
+    std::fill(SA, SA + n, (I)-1);
     // place LMS suffixes at bucket tails, in the given order reversed
     bkt_tails();
     for (i64 t = (i64)lms_ordered.size() - 1; t >= 0; --t) {
-      i64 p = lms_ordered[t];
+      I p = lms_ordered[t];
       SA[--B[T[p]]] = p;
     }
     // induce L-type left to right
     bkt_heads();
-    for (i64 i = 0; i < n; ++i) {
-      i64 j = SA[i] - 1;
-      if (j >= 0 && !stype[j]) SA[B[T[j]]++] = j;
+    for (I i = 0; i < n; ++i) {
+      I j = SA[i] - 1;
+      if (SA[i] > 0 && !stype[j]) SA[B[T[j]]++] = j;
     }
     // induce S-type right to left
     bkt_tails();
-    for (i64 i = n - 1; i >= 0; --i) {
-      i64 j = SA[i] - 1;
-      if (j >= 0 && stype[j]) SA[--B[T[j]]] = j;
+    for (I i = n - 1; i >= 0; --i) {
+      I j = SA[i] - 1;
+      if (SA[i] > 0 && stype[j]) SA[--B[T[j]]] = j;
     }
   };
 
   // pass 1: LMS positions in text order
-  std::vector<i64> lms;
+  std::vector<I> lms;
   lms.reserve(n / 2 + 1);
-  for (i64 i = 1; i < n; ++i)
+  for (I i = 1; i < n; ++i)
     if (is_lms(i)) lms.push_back(i);
   induce(lms);
 
   // collect LMS suffixes in their induced (sorted-by-LMS-substring) order
-  std::vector<i64> lms_sorted;
+  std::vector<I> lms_sorted;
   lms_sorted.reserve(lms.size());
-  for (i64 i = 0; i < n; ++i)
+  for (I i = 0; i < n; ++i)
     if (is_lms(SA[i])) lms_sorted.push_back(SA[i]);
 
   // name LMS substrings
   i64 m = (i64)lms.size();
-  std::vector<i64> name_of(n, -1);
-  i64 names = 0;
-  i64 prev = -1;
+  std::vector<I> name_of(n, (I)-1);
+  I names = 0;
+  I prev = -1;
   for (i64 t = 0; t < m; ++t) {
-    i64 p = lms_sorted[t];
+    I p = lms_sorted[t];
     bool differ = (prev < 0);
     if (!differ) {
       // compare LMS substrings at prev and p (up to and including next LMS char)
-      for (i64 d = 0;; ++d) {
+      for (I d = 0;; ++d) {
         bool end_p = d > 0 && is_lms(p + d);
         bool end_q = d > 0 && is_lms(prev + d);
         if (p + d >= n || prev + d >= n || T[p + d] != T[prev + d] ||
@@ -104,15 +107,15 @@ void sais_rec(const i64* T, i64* SA, i64 n, i64 K) {
   }
 
   // order LMS suffixes
-  std::vector<i64> lms_final;
+  std::vector<I> lms_final;
   if (names < m) {
     // recurse on the reduced string (in text order of LMS positions)
-    std::vector<i64> T1(m), SA1(m);
+    std::vector<I> T1(m), SA1(m);
     for (i64 t = 0; t < m; ++t) T1[t] = name_of[lms[t]] + 1;
     // append sentinel: the LAST LMS position is the sentinel suffix (T[n-1]=0),
     // whose name is the unique smallest already; make it explicit:
     T1[m - 1] = 0;  // the sentinel LMS (position n-1) is always last in text order
-    sais_rec(T1.data(), SA1.data(), m, names + 1);
+    sais_rec<I>(T1.data(), SA1.data(), (I)m, names + 1);
     lms_final.resize(m);
     for (i64 t = 0; t < m; ++t) lms_final[t] = lms[SA1[t]];
   } else {
@@ -120,6 +123,17 @@ void sais_rec(const i64* T, i64* SA, i64 n, i64 K) {
   }
 
   induce(lms_final);
+}
+
+template <class I>
+void sais_u8_run(const uint8_t* t, i64* sa_out, i64 n) {
+  std::vector<I> T(n + 1);
+  for (i64 i = 0; i < n; ++i) T[i] = (I)t[i] + 1;
+  T[n] = 0;
+  std::vector<I> SA(n + 1);
+  sais_rec<I>(T.data(), SA.data(), (I)(n + 1), (I)258);
+  // SA[0] is the sentinel suffix
+  for (i64 i = 0; i < n; ++i) sa_out[i] = (i64)SA[i + 1];
 }
 
 }  // namespace
@@ -130,13 +144,10 @@ extern "C" {
 // added internally, its SA entry dropped).  Returns 0 on success.
 int rbt_sais_u8(const uint8_t* t, i64* sa_out, i64 n) {
   if (n <= 0) return 0;
-  std::vector<i64> T(n + 1);
-  for (i64 i = 0; i < n; ++i) T[i] = (i64)t[i] + 1;
-  T[n] = 0;
-  std::vector<i64> SA(n + 1);
-  sais_rec(T.data(), SA.data(), n + 1, 258);
-  // SA[0] is the sentinel suffix
-  std::memcpy(sa_out, SA.data() + 1, sizeof(i64) * n);
+  if (n + 1 < (i64)INT32_MAX)
+    sais_u8_run<int32_t>(t, sa_out, n);
+  else
+    sais_u8_run<int64_t>(t, sa_out, n);
   return 0;
 }
 }
