@@ -63,6 +63,38 @@ def build_dense_tables(codes: np.ndarray, A: int):
     return bwt4, occ_blk
 
 
+FB_CKPT = 8  # checkpoint lanes per fblock row (alphabet codes must fit)
+FB_WORDS = DENSE_BLOCK // 8  # 16 packed uint32 words per row
+FB_ROW = FB_CKPT + FB_WORDS  # 24 int32 lanes = 96 bytes per 128 symbols
+
+
+def build_fblock(codes: np.ndarray, A: int) -> np.ndarray:
+    """Interleaved fused-block rank table: int32[nb, 24] rows of
+    [8 per-char exclusive occ checkpoints | 16 packed 4-bit BWT words].
+
+    One row gather + VPU SWAR popcount = rank(i, c) — the checkpoint and the
+    in-block symbols ride the same HBM transaction (the dense analog of
+    rle_string::rank's single cache-line locality, rle_string.hpp:131-161) at
+    0.75 bytes/symbol vs occ1's 4*A bytes/symbol.
+    """
+    assert A <= FB_CKPT, f"fblock needs A<={FB_CKPT}, got {A}"
+    n = codes.shape[0]
+    assert n < (1 << 31), "fblock checkpoints are int32; shard first"
+    nb = (n + DENSE_BLOCK - 1) // DENSE_BLOCK
+    padded = np.full(nb * DENSE_BLOCK, 15, dtype=np.uint32)  # pad nibble 15: matches no code
+    padded[:n] = codes.astype(np.uint32)
+    grp = padded.reshape(-1, 8)
+    shifts = (np.arange(8, dtype=np.uint32) * 4)[None, :]
+    words = (grp << shifts).astype(np.uint32).sum(axis=1, dtype=np.uint32)
+    pc = padded.reshape(nb, DENSE_BLOCK)
+    fb = np.zeros((nb, FB_ROW), dtype=np.int32)
+    for c in range(A):
+        per_block = (pc == c).sum(axis=1)
+        fb[1:, c] = np.cumsum(per_block)[:-1]
+    fb[:, FB_CKPT:] = words.reshape(nb, FB_WORDS).view(np.int32)
+    return fb
+
+
 # NOTE: a run-jump LF table (J=10 chained LF steps per gathered row, with
 # host-side repair of lanes leaving the single-run regime) was built and
 # benchmarked in round 1 and DELETED: on TPU v5e the host repair round-trips
@@ -209,8 +241,9 @@ def build_index(
         ma_row = ma_row[srt]
         ma_val = ma_val[srt]
 
+    idx_dt = np.int32 if n < (1 << 31) - 2 else np.int64
     ma_start1 = None
-    if ma_row is not None and dense and n <= OCC1_MAX_N:
+    if ma_row is not None and dense and n < (1 << 31):
         # dense row -> marker-offset table: ma_start1[i] = #markers in rows
         # [0, i) — markers_at_range becomes two gathers instead of two
         # binary searches
@@ -218,20 +251,26 @@ def build_index(
             ma_row, np.arange(n + 1, dtype=np.int64), side="left"
         ).astype(np.int32 if ma_row.shape[0] < (1 << 31) else np.int64)
 
-    bwt4 = occ_blk = occ1 = kval = phi1 = None
+    bwt4 = occ_blk = occ1 = kval = phi1 = fblock = None
     if dense and A <= 16:
-        bwt4, occ_blk = build_dense_tables(codes, A)
+        if A <= FB_CKPT and n < (1 << 31):
+            # fused-block rows carry both the checkpoints and the packed BWT;
+            # the split bwt4/occ_blk pair is only built when fblock can't be
+            fblock = build_fblock(codes, A)
+        else:
+            bwt4, occ_blk = build_dense_tables(codes, A)
         if n <= OCC1_MAX_N:
             occ1 = build_occ1(codes, A)
-            if with_sa_samples:
-                # kval[i] = SA[i]: the toehold invariant through LF_w_loc
-                # (rowbowt.hpp:553-573) is k == SA[hi] — both the trivial k-1
-                # case and the samples_last[run] case land on SA of the new hi
-                # — so the toehold of ANY search state is one gather from the
-                # final hi; no per-step toehold maintenance at all.
-                kval = sa.astype(occ1.dtype)
-                phi1 = build_phi1(pred_pos, pred_to_run, samples_last, n,
-                                  occ1.dtype)
+        if with_sa_samples:
+            # kval[i] = SA[i]: the toehold invariant through LF_w_loc
+            # (rowbowt.hpp:553-573) is k == SA[hi] — both the trivial k-1
+            # case and the samples_last[run] case land on SA of the new hi
+            # — so the toehold of ANY search state is one gather from the
+            # final hi; no per-step toehold maintenance at all.  4n bytes
+            # each (int32), independent of the occ1 gate so chr-scale
+            # indexes keep the 1-gather toehold + phi paths.
+            kval = sa.astype(idx_dt)
+            phi1 = build_phi1(pred_pos, pred_to_run, samples_last, n, idx_dt)
 
     idx = RbtIndex(
         n=n,
@@ -257,6 +296,7 @@ def build_index(
         occ1=occ1,
         kval=kval,
         phi1=phi1,
+        fblock=fblock,
     )
     if ftab_k:
         from rowbowt_tpu.engine.naive import build_ftab_dense

@@ -23,8 +23,10 @@ import numpy as np
 
 from rowbowt_tpu.alphabet import Alphabet
 from rowbowt_tpu.construct.build import (
+    FB_CKPT,
     OCC1_MAX_N,
     build_dense_tables,
+    build_fblock,
     build_occ1,
     build_phi1,
     build_tk1_from_runs,
@@ -178,18 +180,24 @@ def build_index_from_bwt(
             run_head, samples_last, ssa.astype(np.int64), A
         )
 
-    bwt4 = occ_blk = occ1 = tk1 = phi1 = None
+    idx_dt = np.int32 if n < (1 << 31) - 2 else np.int64
+    bwt4 = occ_blk = occ1 = tk1 = phi1 = fblock = None
     if dense and A <= 16:
-        bwt4, occ_blk = build_dense_tables(codes, A)
+        if A <= FB_CKPT and n < (1 << 31):
+            fblock = build_fblock(codes, A)
+        else:
+            bwt4, occ_blk = build_dense_tables(codes, A)
         if n <= OCC1_MAX_N:
             occ1 = build_occ1(codes, A)
             if samples_last is not None:
+                # tk1 is A*n — only worth it alongside occ1 (lf_step_w_loc_occ1
+                # gathers occ1 rows); big-n raw builds use run-space ltk instead
                 tk1 = build_tk1_from_runs(codes, run_start, samples_last, A,
                                           occ1.dtype)
-                phi1 = build_phi1(pred_pos, pred_to_run, samples_last, n,
-                                  occ1.dtype)
+        if samples_last is not None:
+            phi1 = build_phi1(pred_pos, pred_to_run, samples_last, n, idx_dt)
     ma_start1 = None
-    if ma_row is not None and dense and n <= OCC1_MAX_N:
+    if ma_row is not None and dense and n < (1 << 31):
         ma_start1 = np.searchsorted(
             ma_row, np.arange(n + 1, dtype=np.int64), side="left"
         ).astype(np.int32 if ma_row.shape[0] < (1 << 31) else np.int64)
@@ -218,6 +226,7 @@ def build_index_from_bwt(
         occ1=occ1,
         tk1=tk1,
         phi1=phi1,
+        fblock=fblock,
     )
     if ftab_k:
         from rowbowt_tpu.engine.naive import build_ftab_dense

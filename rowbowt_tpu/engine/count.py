@@ -40,12 +40,7 @@ def find_ranges(dx: DeviceIndex, qcodes, lengths, use_ftab: bool = True):
         startj = jnp.where(hit, k, 0).astype(dt)
 
     done = jnp.zeros(B, dtype=bool)
-    if "occ1_flat" in dx.arrays:
-        step = R.lf_step_occ1
-    elif dx.has_dense:
-        step = R.lf_step_dense
-    else:
-        step = R.lf_step
+    step = R.lf_step_auto(dx)
 
     def body(j, st):
         lo, hi, done = st

@@ -70,12 +70,7 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
     wc = jnp.zeros((B, W), dtype=dt)
     nw = jnp.zeros(B, dtype=dt)
     rows = jnp.arange(B)
-    if "occ1_flat" in dx.arrays:
-        lf = R.lf_step_occ1
-    elif dx.has_dense:
-        lf = R.lf_step_dense
-    else:
-        lf = R.lf_step
+    lf = R.lf_step_auto(dx)
 
     def record(lo, hi, gate, ws, wc, nw):
         small = (hi - lo + 1) <= max_range

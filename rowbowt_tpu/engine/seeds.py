@@ -214,12 +214,7 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     ns = jnp.zeros(B, dtype=dt)
     rows = jnp.arange(B)
 
-    if "occ1_flat" in dx.arrays:
-        lf = R.lf_step_occ1
-    elif dx.has_dense:
-        lf = R.lf_step_dense
-    else:
-        lf = R.lf_step
+    lf = R.lf_step_auto(dx)
 
     def ftab_probe(i):
         """search_ftab over codes[m-i-1-k : m-i-1] == columns L-i-1-k + t."""
@@ -403,12 +398,7 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
     eqs = jnp.zeros(B, dtype=dt)
     rows = jnp.arange(B)
 
-    if "occ1_flat" in dx.arrays:
-        lf = R.lf_step_occ1
-    elif dx.has_dense:
-        lf = R.lf_step_dense
-    else:
-        lf = R.lf_step
+    lf = R.lf_step_auto(dx)
 
     def record(tlo, thi, do, ws, wc, nrec):
         go = do & ((thi - tlo + 1) <= max_range)

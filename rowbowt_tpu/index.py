@@ -83,6 +83,7 @@ class RbtIndex:
     tk1: np.ndarray | None = None  # int[A, n]: dense toehold (last-c sample at <=i; raw-input builds)
     kval: np.ndarray | None = None  # int[n]: SA[i] — toehold invariant k == SA[hi] (full-SA builds)
     phi1: np.ndarray | None = None  # int[n]: dense phi (1 gather per phi step)
+    fblock: np.ndarray | None = None  # int32[nb, 24]: interleaved checkpoint+packed-BWT rows
 
     @property
     def R(self) -> int:
@@ -115,7 +116,7 @@ class RbtIndex:
         }
         for name in ("samples_last", "pred_pos", "pred_to_run", "ltk", "ma_row",
                      "ma_val", "ma_start1", "doc_starts", "ftab", "bwt4",
-                     "occ_blk", "occ1", "tk1", "kval", "phi1"):
+                     "occ_blk", "occ1", "tk1", "kval", "phi1", "fblock"):
             v = getattr(self, name)
             if v is not None:
                 arrs[name] = v
@@ -169,6 +170,7 @@ class RbtIndex:
             tk1=get("tk1", with_sa),
             kval=get("kval", with_sa),
             phi1=get("phi1", with_sa),
+            fblock=get("fblock"),
         )
 
     # ---------------- device view ----------------
@@ -206,6 +208,8 @@ class RbtIndex:
             d["occ_blk_flat"] = self.occ_blk.astype(dt).reshape(-1)
         if self.occ1 is not None:
             d["occ1_flat"] = self.occ1.astype(dt).reshape(-1)
+        if self.fblock is not None:
+            d["fblock"] = self.fblock  # int32[nb, 24], dtype fixed by layout
         if self.tk1 is not None and self.samples_last is not None:
             d["tk1_flat"] = self.tk1.astype(dt).reshape(-1)
         if self.kval is not None and self.samples_last is not None:

@@ -16,6 +16,7 @@ reference's behavior for chars with no runs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from rowbowt_tpu.engine.device import DeviceIndex
@@ -77,6 +78,60 @@ def rank_dense(dx: DeviceIndex, i, c):
     return jnp.where(c < 0, 0, v)
 
 
+_FB_CKPT = 8
+_FB_WORDS = _DB // 8
+_FB_ROW = _FB_CKPT + _FB_WORDS
+_NIB_LOW = jnp.uint32(0x11111111)
+
+
+def _fb_rank_from_rows(row, off, c):
+    """rank within one gathered fblock row: checkpoint select + SWAR popcount.
+
+    row [B, 24] int32, off [B] symbol offset in block, c [B] code in [0, 8).
+    """
+    sel = jnp.arange(_FB_CKPT, dtype=jnp.int32)[None, :] == c[:, None].astype(jnp.int32)
+    occ = jnp.sum(jnp.where(sel, row[:, :_FB_CKPT], 0), axis=1)
+    words = jax.lax.bitcast_convert_type(row[:, _FB_CKPT:], jnp.uint32)
+    pat = (c.astype(jnp.uint32) * _NIB_LOW)[:, None]
+    x = words ^ pat
+    t = x | (x >> 1) | (x >> 2) | (x >> 3)
+    match = (~t) & _NIB_LOW  # bit 4j set where nibble j == c
+    # word w covers symbols [8w, 8w+8); keep nibbles below off
+    kn = jnp.clip(off[:, None] - 8 * jnp.arange(_FB_WORDS, dtype=off.dtype)[None, :], 0, 8)
+    mask = jnp.where(kn >= 8, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << (4 * kn.astype(jnp.uint32))) - 1)
+    inblk = jnp.sum(jax.lax.population_count(match & mask), axis=1)
+    return occ + inblk.astype(occ.dtype)
+
+
+def rank_fblock(dx: DeviceIndex, i, c):
+    """Fused-block rank: ONE row gather (96B, checkpoint + packed symbols in
+    the same HBM transaction) + VPU SWAR popcount.  i in [0, n]."""
+    arr = dx.arrays
+    isafe = jnp.minimum(i, dx.n - 1)
+    blk = (isafe >> 7).astype(jnp.int32)
+    off = isafe & (_DB - 1)
+    row = arr["fblock"][blk]  # [B, 24]
+    csafe = jnp.maximum(c, 0)
+    v = _fb_rank_from_rows(row, off, csafe).astype(i.dtype)
+    total = dx.arrays["F"][csafe + 1] - dx.arrays["F"][csafe]
+    v = jnp.where(i >= dx.n, total, v)
+    return jnp.where(c < 0, 0, v)
+
+
+def lf_step_fblock(dx: DeviceIndex, lo, hi, c):
+    """Batched LF over the fused-block table: 2 row gathers per lane-step."""
+    csafe = jnp.maximum(c, 0)
+    c_before = rank_fblock(dx, lo, c)
+    c_inside = rank_fblock(dx, hi + 1, c) - c_before
+    nlo = _f_onehot(dx, c).astype(lo.dtype) + c_before
+    nhi = nlo + c_inside - 1
+    empty = (c_inside <= 0) | (c < 0)
+    one = jnp.ones((), dtype=nlo.dtype)
+    zero = jnp.zeros((), dtype=nlo.dtype)
+    return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
+
+
 def _f_onehot(dx: DeviceIndex, c):
     """F[c] via one-hot dot over the tiny F table — avoids a gather op."""
     F = dx.arrays["F"]
@@ -118,6 +173,19 @@ def lf_step_dense(dx: DeviceIndex, lo, hi, c):
     one = jnp.ones((), dtype=nlo.dtype)
     zero = jnp.zeros((), dtype=nlo.dtype)
     return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
+
+
+def lf_step_auto(dx: DeviceIndex):
+    """The fastest LF step the index's tables support (one if-chain for all
+    engines): occ1 (2 elem gathers) > fblock (2 row gathers + SWAR) >
+    split dense (checkpoint + word gathers) > run-space searchsorted."""
+    if "occ1_flat" in dx.arrays:
+        return lf_step_occ1
+    if "fblock" in dx.arrays:
+        return lf_step_fblock
+    if dx.has_dense:
+        return lf_step_dense
+    return lf_step
 
 
 def lf_step(dx: DeviceIndex, lo, hi, c):

@@ -33,11 +33,42 @@ def reads(text):
     return out
 
 
+def test_rank_backends_pointwise(text):
+    """rank_fblock / rank_dense / rank_occ1 == run-space rank on random (i, c),
+    including the i == n and c < 0 edges."""
+    import jax.numpy as jnp
+
+    from rowbowt_tpu.construct.build import build_dense_tables
+    from rowbowt_tpu.ops import rank as R
+
+    idx = build_index(text)
+    assert idx.fblock is not None
+    dx = DeviceIndex.from_index(idx)
+    # fblock replaces the split pair in default builds; synthesize the split
+    # tables so the fallback backend is exercised too
+    bwt4, occ_blk = build_dense_tables(_bwt_codes(idx), idx.A)
+    dx.arrays["bwt4"] = jnp.asarray(bwt4)
+    dx.arrays["occ_blk_flat"] = jnp.asarray(occ_blk.astype(np.int32).reshape(-1))
+
+    rng = np.random.default_rng(5)
+    i = jnp.asarray(rng.integers(0, idx.n + 1, size=2048, dtype=np.int32))
+    c = jnp.asarray(rng.integers(-1, idx.A, size=2048, dtype=np.int32))
+    base = np.asarray(R.rank(dx, i, c))
+    assert (np.asarray(R.rank_fblock(dx, i, c)) == base).all()
+    assert (np.asarray(R.rank_dense(dx, i, c)) == base).all()
+    assert (np.asarray(R.rank_occ1(dx, i, c)) == base).all()
+
+
+def _bwt_codes(idx):
+    ends = np.append(idx.run_start[1:], idx.n)
+    return np.repeat(idx.run_head.astype(np.int64), ends - idx.run_start)
+
+
 @pytest.mark.parametrize("dense", [False, True])
 def test_backend_agreement(text, reads, dense):
     idx = build_index(text, dense=dense)
     if dense:
-        assert idx.occ1 is not None and idx.kval is not None
+        assert idx.occ1 is not None and idx.kval is not None and idx.fblock is not None
     dx = DeviceIndex.from_index(idx)
     qc, lens = encode_batch(idx, reads)
     lo, hi = find_ranges(dx, qc, lens)
