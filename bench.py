@@ -1,15 +1,23 @@
-"""Standard benchmark: batched count (backward search) reads/s on one chip.
+"""Standard benchmark: batched query throughput on one TPU chip, two configs.
 
-Builds (once, cached) a synthetic pangenome index — 1 Mbp reference + 7
-haplotypes with random SNVs (~8 M chars) — then times the batched count engine
-on 100bp reads and the single-thread native CPU baseline on the same work
-(equivalent of the reference rb_align count loop, rb_align.cpp:162-193).
+Config "small" (BASELINE.md configs 1-3): 1 Mbp ref + 7 haplotypes (n=8.0M) —
+count (headline), locate, windowed markers, and the production greedy-seeding
+marker path (rb_markers' workload, /root/reference/src/rb_markers.cpp:550-595),
+vs the single-thread native CPU baseline doing equivalent work
+(native/cpu_engine.cpp; the reference binary itself is unbuildable here —
+empty sdsl/pfbwt submodules).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Config "chr" (BASELINE.md config 4): 20 Mbp ref + 7 haplotypes (n=160M), the
+chr21-scale regime where a full positional occ table cannot exist — the
+fused-block rank path (one 96B row gather + SWAR popcount per rank) carries
+every query.  Construction wall time and peak RSS are recorded at build time.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
 import os
+import resource
 import subprocess
 import sys
 import time
@@ -17,14 +25,16 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-CACHE = os.path.join(REPO, ".cache", "bench_idx")
 
-REF_LEN = 1_000_000
-N_HAPS = 7
-N_VARS = 3_000
-N_READS = 100_000
+CFG = {
+    "small": dict(cache=os.path.join(REPO, ".cache", "bench_idx"),
+                  ref_len=1_000_000, n_haps=7, n_vars=3_000, seed=1234),
+    "chr": dict(cache=os.path.join(REPO, ".cache", "bench_idx_chr"),
+                ref_len=20_000_000, n_haps=7, n_vars=60_000, seed=4321),
+}
+N_READS = 262_144
 READ_LEN = 100
-BATCH = 32768
+BATCH = 131_072  # fblock LF throughput still rises past 32k lanes (fblock_probe)
 
 
 def _ensure_native():
@@ -35,27 +45,19 @@ def _ensure_native():
     return os.path.exists(lib)
 
 
-def _build_or_load_index():
-    from rowbowt_tpu.index import RbtIndex
-
-    if os.path.exists(os.path.join(CACHE, "rbt_meta.json")):
-        import json as _json
-        with open(os.path.join(CACHE, "rbt_meta.json")) as f:
-            ver = _json.load(f).get("version", 0)
-        if ver >= 3:
-            idx = RbtIndex.load(CACHE)
-            if idx.kval is not None and idx.ftab is not None:
-                return idx
-        print("bench: stale index cache; rebuilding", file=sys.stderr)
+def _build_index(cfg):
+    """Build + cache one synthetic pangenome index; records build stats."""
     from rowbowt_tpu.alphabet import SEP_BYTE, TERM_BYTE
     from rowbowt_tpu.construct.build import build_index
     from rowbowt_tpu.construct.panel import Marker
+    from rowbowt_tpu.index import RbtIndex
 
-    rng = np.random.default_rng(1234)
+    cache = cfg["cache"]
+    rng = np.random.default_rng(cfg["seed"])
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
-    ref = rng.choice(acgt, size=REF_LEN)
-    var_pos = np.sort(rng.choice(REF_LEN, size=N_VARS, replace=False))
-    var_alt = rng.choice(acgt, size=N_VARS)
+    ref = rng.choice(acgt, size=cfg["ref_len"])
+    var_pos = np.sort(rng.choice(cfg["ref_len"], size=cfg["n_vars"], replace=False))
+    var_alt = rng.choice(acgt, size=cfg["n_vars"])
     w = 10
     parts, doc_starts, markers = [], [], []
     pos = 0
@@ -71,9 +73,9 @@ def _build_or_load_index():
         pos += len(seq) + w
 
     add_doc(ref, [(p, 0) for p in var_pos])
-    for h in range(N_HAPS):
+    for h in range(cfg["n_haps"]):
         hap = ref.copy()
-        carry = rng.random(N_VARS) < 0.5
+        carry = rng.random(cfg["n_vars"]) < 0.5
         hap[var_pos[carry]] = var_alt[carry]
         add_doc(hap, [(p, 1 if c else 0) for p, c in zip(var_pos, carry)])
     parts.append(np.array([TERM_BYTE], dtype=np.uint8))
@@ -82,24 +84,41 @@ def _build_or_load_index():
     t0 = time.perf_counter()
     idx = build_index(text, markers=markers,
                       doc_starts=np.array(doc_starts, dtype=np.int64),
-                      doc_names=["ref"] + [f"hap{h}" for h in range(N_HAPS)],
+                      doc_names=["ref"] + [f"hap{h}" for h in range(cfg["n_haps"])],
                       ma_wsize=w, ftab_k=10)
-    print(f"built in {time.perf_counter()-t0:.1f}s (R={idx.R:,})", file=sys.stderr)
-    os.makedirs(CACHE, exist_ok=True)
-    idx.save(CACHE)
-    # cache the text too (for read sampling)
-    np.save(os.path.join(CACHE, "text.npy"), text)
-    return RbtIndex.load(CACHE)
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
+    print(f"built in {wall:.1f}s (R={idx.R:,}, peak RSS {rss_gb:.1f} GB)",
+          file=sys.stderr)
+    os.makedirs(cache, exist_ok=True)
+    idx.save(cache)
+    np.save(os.path.join(cache, "text.npy"), text)
+    with open(os.path.join(cache, "build_stats.json"), "w") as f:
+        json.dump({"wall_s": round(wall, 1), "peak_rss_gb": round(rss_gb, 2),
+                   "n": idx.n, "R": idx.R}, f)
+    return RbtIndex.load(cache)
 
 
-def _sample_reads(idx, rng):
-    text = np.load(os.path.join(CACHE, "text.npy"))
+def _load_or_build(cfg):
+    from rowbowt_tpu.index import RbtIndex
+
+    meta = os.path.join(cfg["cache"], "rbt_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            ver = json.load(f).get("version", 0)
+        if ver >= 4:
+            return RbtIndex.load(cfg["cache"])
+        print("bench: stale index cache; rebuilding", file=sys.stderr)
+    return _build_index(cfg)
+
+
+def _sample_reads(cfg, rng, n_reads):
+    text = np.load(os.path.join(cfg["cache"], "text.npy"), mmap_mode="r")
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
-    starts = rng.integers(0, len(text) - READ_LEN - 1, size=N_READS)
-    reads = np.empty((N_READS, READ_LEN), dtype=np.uint8)
+    starts = rng.integers(0, len(text) - READ_LEN - 1, size=n_reads)
+    reads = np.empty((n_reads, READ_LEN), dtype=np.uint8)
     for i, s in enumerate(starts):
         reads[i] = text[s:s + READ_LEN]
-    # resample any read overlapping a separator pad; then 20% get one mutation
     bad = ~np.isin(reads, acgt).all(axis=1)
     for i in np.flatnonzero(bad):
         while True:
@@ -108,193 +127,240 @@ def _sample_reads(idx, rng):
             if np.isin(r, acgt).all():
                 reads[i] = r
                 break
-    mut = rng.random(N_READS) < 0.2
-    mpos = rng.integers(0, READ_LEN, size=N_READS)
-    mchar = rng.choice(acgt, size=N_READS)
-    reads[np.arange(N_READS)[mut], mpos[mut]] = mchar[mut]
+    mut = rng.random(n_reads) < 0.2
+    mpos = rng.integers(0, READ_LEN, size=n_reads)
+    mchar = rng.choice(acgt, size=n_reads)
+    reads[np.arange(n_reads)[mut], mpos[mut]] = mchar[mut]
     return reads
 
 
-def main():
-    have_native = _ensure_native()
-    import jax
+def _timeit(fn, *a, reps=3):
+    """min-of-reps wall time; int() readback truly syncs the axon tunnel."""
+    _ = int(fn(*a))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = int(fn(*a))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
-    # persistent compile cache: the TPU tunnel's remote compile is the flakiest
-    # stage — cache hits skip it entirely on re-runs
+
+def run_config(name: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jaxcache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    print("bench: jax ready", file=sys.stderr)
 
     from rowbowt_tpu.engine.count import find_ranges
     from rowbowt_tpu.engine.device import DeviceIndex
 
-    idx = _build_or_load_index()
-    print(f"bench: index n={idx.n:,} R={idx.R:,}", file=sys.stderr)
+    cfg = CFG[name]
+    have_native = _ensure_native()
+    idx = _load_or_build(cfg)
+    out = {}
+    if os.path.exists(os.path.join(cfg["cache"], "build_stats.json")):
+        with open(os.path.join(cfg["cache"], "build_stats.json")) as f:
+            bs = json.load(f)
+        out[f"build_wall_s_{name}"] = bs["wall_s"]
+        out[f"build_peak_rss_gb_{name}"] = bs["peak_rss_gb"]
+    print(f"bench[{name}]: index n={idx.n:,} R={idx.R:,} "
+          f"(fblock={'yes' if idx.fblock is not None else 'no'})", file=sys.stderr)
     rng = np.random.default_rng(99)
-    reads = _sample_reads(idx, rng)
-    print("bench: reads sampled", file=sys.stderr)
+    reads = _sample_reads(cfg, rng, N_READS)
     tab = idx.alpha.encode_table()
-    qcodes = tab[reads.astype(np.int64)].astype(np.int16)  # [N, L], no padding needed
+    qcodes = tab[reads.astype(np.int64)].astype(np.int32)
     lengths = np.full(N_READS, READ_LEN, dtype=np.int32)
 
     dx = DeviceIndex.from_index(idx)
+    if idx.kval is not None and idx.fblock is not None:
+        dx = dx.lean()  # drop run-space tables: ~1 GB HBM at chr scale
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    print(f"bench[{name}]: device {dev}", file=sys.stderr)
 
-    # one dispatch for the whole read set: scan over batches inside jit, so the
-    # TPU tunnel's per-call latency is paid once, not per batch
+    # ---- count: one dispatch scanning all batches (headline) ----
     nb = N_READS // BATCH
-    qc3 = jax.numpy.asarray(
-        qcodes[: nb * BATCH].astype(np.int32).reshape(nb, BATCH, READ_LEN))
-    len2 = jax.numpy.asarray(lengths[: nb * BATCH].reshape(nb, BATCH))
+    qc3 = jnp.asarray(qcodes[: nb * BATCH].reshape(nb, BATCH, READ_LEN))
+    len2 = jnp.asarray(lengths[: nb * BATCH].reshape(nb, BATCH))
 
     @jax.jit
     def count_all(dx, qc3, len2, salt):
         def step(_, xs):
             qc, ln = xs
             return None, find_ranges(dx, qc, ln)
-        # salt defeats any caching between timing reps; checksum forces full
-        # execution before the (tiny) host readback
         _, (lo, hi) = jax.lax.scan(step, None, (qc3, len2 + salt - salt))
-        return lo, hi, jax.numpy.sum(lo) + jax.numpy.sum(hi)
+        return lo, hi, jnp.sum(lo) + jnp.sum(hi)
 
     n_done = nb * BATCH
-    out = count_all(dx, qc3, len2, 0)  # warmup / compile
-    _ = int(out[2])
-    slo = np.asarray(out[0]).reshape(-1)
-    shi = np.asarray(out[1]).reshape(-1)
-    print("bench: warmup done", file=sys.stderr)
-    best = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        out = count_all(dx, qc3, len2, rep + 1)
-        _ = int(out[2])
-        best = min(best, time.perf_counter() - t0)
-    tpu_rps = n_done / best
-    print(f"accel LF loop: {n_done:,} reads in {best:.3f}s -> "
-          f"{tpu_rps:,.0f} reads/s", file=sys.stderr)
-    outs0 = slo[:BATCH], shi[:BATCH]
+    res = count_all(dx, qc3, len2, 0)
+    _ = int(res[2])
+    slo = np.asarray(res[0]).reshape(-1)
+    best = _timeit(lambda s: count_all(dx, qc3, len2, s)[2], 1)
+    rps = n_done / best
+    out[f"count_reads_per_s_{name}"] = round(rps, 1)
+    out[f"lf_steps_per_s_{name}"] = round(rps * READ_LEN, 0)
+    print(f"bench[{name}]: count {rps:,.0f} reads/s "
+          f"({rps*READ_LEN/1e6:,.0f} M LF-steps/s)", file=sys.stderr)
+    _emit(out)
 
-    # CPU baseline (single thread, native)
-    vs = None
+    # ---- CPU baseline (single thread, native, same work) ----
     if have_native:
         from rowbowt_tpu.cpu_backend import count_ranges
 
-        ncpu = 4096
+        ncpu = 4096 if name == "small" else 1024
         cdt = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             clo, chi = count_ranges(idx, qcodes[:ncpu], lengths[:ncpu])
             cdt = min(cdt, time.perf_counter() - t0)
         cpu_rps = ncpu / cdt
-        print(f"cpu-1t: {ncpu:,} reads in {cdt:.3f}s -> {cpu_rps:,.0f} reads/s",
-              file=sys.stderr)
-        # correctness cross-check on the common prefix
-        assert (outs0[0][:ncpu] == clo[:BATCH]).all(), "accel != cpu baseline"
-        vs = tpu_rps / cpu_rps
+        print(f"bench[{name}]: cpu-1t {cpu_rps:,.0f} reads/s", file=sys.stderr)
+        assert (slo[:ncpu] == clo[:ncpu]).all(), "accel != cpu baseline"
+        out[f"vs_baseline_{name}"] = round(rps / cpu_rps, 3)
+        _emit(out)
 
-    headline = {
-        "metric": "count_reads_per_s_chip",
-        "value": round(tpu_rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
-    }
-    # secondary metrics (stderr): locate and windowed-marker throughput on one
-    # batch each — BASELINE.md configs 2 and 3.  Their compiles are fresh
-    # programs and the tunnel's remote compile sometimes hangs inside a C call
-    # (uninterruptible by signals), so a watchdog thread hard-exits with the
-    # headline JSON if they take too long.
-    import threading
+    # ---- locate (toehold + phi walk) ----
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
 
-    def _bail():
-        print("bench: secondary metrics watchdog fired", file=sys.stderr)
-        print(json.dumps(headline))
-        sys.stdout.flush()
-        sys.stderr.flush()
-        os._exit(0)
+    qb, lb = qc3[0], len2[0]
 
-    watchdog = threading.Timer(90, _bail)
-    watchdog.daemon = True
-    watchdog.start()
-    try:
-        from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
-        from rowbowt_tpu.engine.markers import find_ranges_w_markers
+    @jax.jit
+    def loc_all(dx, qc, ln, salt):
+        lo, hi, k = find_ranges_w_toehold(dx, qc, ln + salt - salt)
+        locs, cnt = locate(dx, lo, hi, k, max_hits=4)
+        return jnp.sum(cnt) + jnp.sum(locs)
 
-        qb, lb = qc3[0], len2[0]
+    tl = _timeit(lambda s: loc_all(dx, qb, lb, s), 1)
+    out[f"locate_reads_per_s_{name}"] = round(BATCH / tl, 1)
+    print(f"bench[{name}]: locate {BATCH/tl:,.0f} reads/s", file=sys.stderr)
+    _emit(out)
 
-        @jax.jit
-        def loc_all(dx, qc, ln, salt):
-            lo, hi, k = find_ranges_w_toehold(dx, qc, ln + salt - salt)
-            locs, cnt = locate(dx, lo, hi, k, max_hits=4)
-            return locs, jax.numpy.sum(cnt) + jax.numpy.sum(locs)
+    # ---- windowed markers (rb_align -m workload) ----
+    from rowbowt_tpu.engine.markers import find_ranges_w_markers
 
-        _ = int(loc_all(dx, qb, lb, 0)[1])
-        tl = float("inf")
-        for rep in range(3):
-            t0 = time.perf_counter()
-            _ = int(loc_all(dx, qb, lb, rep + 1)[1])
-            tl = min(tl, time.perf_counter() - t0)
-        print(f"locate: {BATCH:,} reads in {tl:.3f}s -> {BATCH/tl:,.0f} reads/s",
-              file=sys.stderr)
+    @jax.jit
+    def mk_all(dx, qc, ln, salt):
+        lo, hi, buf, used, ovf = find_ranges_w_markers(
+            dx, qc, ln + salt - salt, wsize=10, max_range=1000, max_k=16)
+        return jnp.sum(used) + jnp.sum(lo)
 
-        @jax.jit
-        def mk_all(dx, qc, ln, salt):
-            lo, hi, buf, used, ovf = find_ranges_w_markers(
-                dx, qc, ln + salt - salt, wsize=10, max_range=1000, max_k=16)
-            return jax.numpy.sum(used) + jax.numpy.sum(lo)
+    tm = _timeit(lambda s: mk_all(dx, qb, lb, s), 1)
+    out[f"markers_reads_per_s_{name}"] = round(BATCH / tm, 1)
+    print(f"bench[{name}]: markers {BATCH/tm:,.0f} reads/s", file=sys.stderr)
+    _emit(out)
 
-        _ = int(mk_all(dx, qb, lb, 0))
-        tm = float("inf")
-        for rep in range(3):
-            t0 = time.perf_counter()
-            _ = int(mk_all(dx, qb, lb, rep + 1))
-            tm = min(tm, time.perf_counter() - t0)
-        print(f"markers: {BATCH:,} reads in {tm:.3f}s -> {BATCH/tm:,.0f} reads/s",
-              file=sys.stderr)
-        extra = {"locate_reads_per_s": round(BATCH / tl, 1),
-                 "markers_reads_per_s": round(BATCH / tm, 1)}
-    except Exception as e:  # secondary metrics must never sink the headline
-        print(f"bench: secondary metrics failed: {e!r}", file=sys.stderr)
-        extra = {}
-    watchdog.cancel()
+    # ---- production greedy-seeding marker path (rb_markers workload:
+    #      fwd + revcomp strands per read, rb_markers.cpp:396-400) ----
+    from rowbowt_tpu.engine.seeds import markers_greedy_seeding
 
-    print(json.dumps({**headline, **extra}))
+    comp = np.full(16, -1, dtype=np.int32)
+    for x, y in zip(b"ACGT", b"TGCA"):
+        cx = int(tab[x])
+        cy = int(tab[y])
+        if cx >= 0 and cy >= 0:
+            comp[cx] = cy
+    rc = jnp.asarray(comp)[jnp.maximum(qb, 0)][:, ::-1]
+    rc = jnp.where(qb[:, ::-1] >= 0, rc, -1)
+
+    @jax.jit
+    def greedy_all(dx, qf, qr, ln, salt):
+        o = jnp.zeros((), dtype=jnp.int64)
+        for q in (qf, qr):
+            slo, shi, sqs, sqe, mvals, mcnt, ns = markers_greedy_seeding(
+                dx, q, ln + salt - salt, wsize=10, max_range=1000,
+                max_seeds=8, max_k=16)
+            o = o + jnp.sum(mcnt.astype(jnp.int64)) + jnp.sum(ns.astype(jnp.int64))
+        return o
+
+    tg = _timeit(lambda s: greedy_all(dx, qb, rc, lb, s), 1)
+    out[f"markers_greedy_reads_per_s_{name}"] = round(BATCH / tg, 1)
+    print(f"bench[{name}]: greedy markers (both strands) {BATCH/tg:,.0f} reads/s",
+          file=sys.stderr)
+    return out
+
+
+def _emit(out: dict) -> None:
+    """Cumulative partial result: the parent takes the LAST such line, so a
+    hang in a later metric still delivers everything measured before it."""
+    print("RESULT " + json.dumps(out))
     sys.stdout.flush()
+
+
+def worker(name: str) -> int:
+    res = run_config(name)
+    _emit(res)
     sys.stderr.flush()
-    # the TPU tunnel's runtime teardown can hang at interpreter exit; results
-    # are already flushed, so exit hard
+    # the TPU tunnel's runtime teardown can hang at interpreter exit
     os._exit(0)
 
 
-def _parent():
+def _run_worker(name: str, timeout: int, attempts: int = 5):
     """The TPU tunnel hangs on claim/compile in a sizeable fraction of fresh
-    processes; a new process usually succeeds.  Retry the measurement in a
-    subprocess with a hard timeout until a JSON line appears."""
-    env = dict(os.environ, RBT_BENCH_WORKER="1")
-    for attempt in range(6):
+    processes; a new process usually succeeds — retry with a hard timeout."""
+    env = dict(os.environ, RBT_BENCH_WORKER=name)
+
+    def last_result(stdout):
+        if not stdout:
+            return None
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        lines = [l for l in stdout.splitlines() if l.startswith("RESULT ")]
+        return json.loads(lines[-1][len("RESULT "):]) if lines else None
+
+    partial = None
+    for attempt in range(attempts):
         try:
             p = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
-                env=env, timeout=420, capture_output=True, text=True,
-            )
+                env=env, timeout=timeout, capture_output=True, text=True)
         except subprocess.TimeoutExpired as e:
-            print(f"bench attempt {attempt}: timeout; retrying", file=sys.stderr)
+            print(f"bench[{name}] attempt {attempt}: timeout", file=sys.stderr)
             if e.stderr:
                 sys.stderr.write(e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr)
+            got = last_result(e.stdout)
+            if got and (partial is None or len(got) >= len(partial)):
+                partial = got
             continue
         sys.stderr.write(p.stderr)
-        line = next((l for l in p.stdout.splitlines() if l.startswith("{")), None)
-        if line:
-            print(line)
-            return 0
-        print(f"bench attempt {attempt}: no result (exit {p.returncode}); retrying",
-              file=sys.stderr)
-    print("bench: all attempts failed", file=sys.stderr)
-    return 1
+        got = last_result(p.stdout)
+        if got and p.returncode == 0:
+            return got
+        if got and (partial is None or len(got) >= len(partial)):
+            partial = got
+        print(f"bench[{name}] attempt {attempt}: exit {p.returncode} "
+              f"({'partial' if got else 'no'} result)", file=sys.stderr)
+    return partial
+
+
+def main():
+    # host-side index builds first (no TPU, no timeout pressure)
+    sys.path.insert(0, REPO)
+    for name in ("small", "chr"):
+        if not os.path.exists(os.path.join(CFG[name]["cache"], "rbt_meta.json")):
+            subprocess.run([sys.executable, "-c",
+                            f"import sys; sys.path.insert(0, {REPO!r}); "
+                            f"import bench; bench._load_or_build(bench.CFG[{name!r}])"],
+                           check=False)
+
+    small = _run_worker("small", timeout=480)
+    chr_ = _run_worker("chr", timeout=900, attempts=4)
+
+    if small is None:
+        print("bench: small config failed entirely", file=sys.stderr)
+        return 1
+    headline = {
+        "metric": "count_reads_per_s_chip",
+        "value": small.get("count_reads_per_s_small"),
+        "unit": "reads/s",
+        "vs_baseline": small.get("vs_baseline_small"),
+    }
+    print(json.dumps({**headline, **small, **(chr_ or {})}))
+    return 0
 
 
 if __name__ == "__main__":
-    if os.environ.get("RBT_BENCH_WORKER") == "1":
-        main()
+    w = os.environ.get("RBT_BENCH_WORKER")
+    if w in CFG:
+        worker(w)
     else:
-        sys.exit(_parent())
+        sys.exit(main())

@@ -23,9 +23,11 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
 
 DENSE_BLOCK = 128  # symbols per occ checkpoint block (16 uint32 words, 64B)
 
-# full positional occ (occ1): one gather per rank, 4(n+1)A bytes — the fastest
-# LF path on hardware whose gather cost is per-element (see DESIGN.md); built
-# by default for indexes below this size, block tables cover the rest
+# full positional occ (occ1): one elem gather per rank, 4(n+1)A bytes.
+# SUPERSEDED by fblock for panel builds (fblock is 2.7x faster on v5e at
+# n=8M and 37x smaller, tools/fblock_probe.py); still built for RAW-input
+# indexes below this size, where the per-step toehold path lf_step_w_loc_occ1
+# needs occ1+tk1 (no full SA -> no kval shortcut).
 OCC1_MAX_N = 128_000_000
 
 
@@ -251,16 +253,16 @@ def build_index(
             ma_row, np.arange(n + 1, dtype=np.int64), side="left"
         ).astype(np.int32 if ma_row.shape[0] < (1 << 31) else np.int64)
 
-    bwt4 = occ_blk = occ1 = kval = phi1 = fblock = None
+    bwt4 = occ_blk = kval = phi1 = fblock = None
     if dense and A <= 16:
         if A <= FB_CKPT and n < (1 << 31):
             # fused-block rows carry both the checkpoints and the packed BWT;
-            # the split bwt4/occ_blk pair is only built when fblock can't be
+            # the split bwt4/occ_blk pair is only built when fblock can't be.
+            # occ1 is NOT built for panel indexes: fblock beats it on hardware
+            # and kval/phi1 cover the toehold/phi paths (tools/fblock_probe.py)
             fblock = build_fblock(codes, A)
         else:
             bwt4, occ_blk = build_dense_tables(codes, A)
-        if n <= OCC1_MAX_N:
-            occ1 = build_occ1(codes, A)
         if with_sa_samples:
             # kval[i] = SA[i]: the toehold invariant through LF_w_loc
             # (rowbowt.hpp:553-573) is k == SA[hi] — both the trivial k-1
@@ -293,7 +295,6 @@ def build_index(
         doc_names=doc_names,
         bwt4=bwt4,
         occ_blk=occ_blk,
-        occ1=occ1,
         kval=kval,
         phi1=phi1,
         fblock=fblock,

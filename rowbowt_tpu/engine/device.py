@@ -60,6 +60,21 @@ class DeviceIndex:
     def has_dense(self) -> bool:
         return "bwt4" in self.arrays
 
+    # run-space tables shadowed by the dense fast paths; dropping them from a
+    # chr-scale DeviceIndex saves ~1 GB HBM (occ is A*R, ltk is A*R)
+    _LEAN_DROP = ("occ_flat", "cruns_flat", "cruns_off", "ltk",
+                  "pred_pos", "pred_to_run")
+
+    def lean(self) -> "DeviceIndex":
+        """A view without the run-space rank/toehold tables.  Valid when a
+        dense LF backend (occ1/fblock/bwt4) plus kval+phi1 cover every engine
+        path; keeps run_start/samples_last (cheap, R-sized)."""
+        assert ("occ1_flat" in self.arrays or "fblock" in self.arrays
+                or "bwt4" in self.arrays)
+        arrs = {k: v for k, v in self.arrays.items() if k not in self._LEAN_DROP}
+        return DeviceIndex(arrs, self.n, self.R, self.A, self.ma_wsize,
+                           self.ftab_k, self.acgt_codes)
+
     @staticmethod
     def from_index(idx: RbtIndex, device=None) -> "DeviceIndex":
         arrs = {k: jnp.asarray(v) for k, v in idx.device_arrays().items()}

@@ -182,8 +182,10 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     ncp = jnp.zeros(B, dtype=dt)
     defer_k = "kval" in dx.arrays  # per-checkpoint k = kval[chi] after the loop
     if defer_k:
+        plain = R.lf_step_auto(dx)
+
         def step(dx_, lo_, hi_, c_, k_):
-            nlo, nhi = R.lf_step_occ1(dx_, lo_, hi_, c_)
+            nlo, nhi = plain(dx_, lo_, hi_, c_)
             return nlo, nhi, k_
     elif "tk1_flat" in dx.arrays:
         step = R.lf_step_w_loc_occ1

@@ -67,8 +67,10 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
     ns = jnp.zeros(B, dtype=dt)
     defer_k = "kval" in dx.arrays  # ssamp == SA[recorded hi]: one gather at the end
     if defer_k:
+        plain = R.lf_step_auto(dx)
+
         def step(dx_, lo_, hi_, c_, k_):
-            nlo, nhi = R.lf_step_occ1(dx_, lo_, hi_, c_)
+            nlo, nhi = plain(dx_, lo_, hi_, c_)
             return nlo, nhi, k_
     elif "tk1_flat" in dx.arrays:
         step = R.lf_step_w_loc_occ1

@@ -123,7 +123,7 @@ class RbtIndex:
         np.savez(os.path.join(prefix, _ARRS_NAME), **arrs)
         meta = {
             "format": "rowbowt-tpu-index",
-            "version": 3,  # v3: lfj jump table removed (negative result, DESIGN.md)
+            "version": 4,  # v4: fused-block rank rows (fblock) replace bwt4/occ_blk
             "n": self.n,
             "R": self.R,
             "ma_wsize": self.ma_wsize,

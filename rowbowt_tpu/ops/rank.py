@@ -177,12 +177,14 @@ def lf_step_dense(dx: DeviceIndex, lo, hi, c):
 
 def lf_step_auto(dx: DeviceIndex):
     """The fastest LF step the index's tables support (one if-chain for all
-    engines): occ1 (2 elem gathers) > fblock (2 row gathers + SWAR) >
-    split dense (checkpoint + word gathers) > run-space searchsorted."""
-    if "occ1_flat" in dx.arrays:
-        return lf_step_occ1
+    engines).  fblock first: on TPU v5e hardware 2 row gathers + SWAR beat
+    occ1's 2 elem gathers 2.7x at n=8M (930k vs 347k reads/s, B=131k —
+    tools/fblock_probe.py) because the row table is 37x smaller; at chr scale
+    occ1 cannot exist at all."""
     if "fblock" in dx.arrays:
         return lf_step_fblock
+    if "occ1_flat" in dx.arrays:
+        return lf_step_occ1
     if dx.has_dense:
         return lf_step_dense
     return lf_step

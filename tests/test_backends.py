@@ -38,17 +38,20 @@ def test_rank_backends_pointwise(text):
     including the i == n and c < 0 edges."""
     import jax.numpy as jnp
 
-    from rowbowt_tpu.construct.build import build_dense_tables
+    from rowbowt_tpu.construct.build import build_dense_tables, build_occ1
     from rowbowt_tpu.ops import rank as R
 
     idx = build_index(text)
     assert idx.fblock is not None
     dx = DeviceIndex.from_index(idx)
-    # fblock replaces the split pair in default builds; synthesize the split
-    # tables so the fallback backend is exercised too
-    bwt4, occ_blk = build_dense_tables(_bwt_codes(idx), idx.A)
+    # fblock replaces occ1 and the split pair in panel builds; synthesize both
+    # so every rank backend is exercised against the run-space oracle
+    codes = _bwt_codes(idx)
+    bwt4, occ_blk = build_dense_tables(codes, idx.A)
     dx.arrays["bwt4"] = jnp.asarray(bwt4)
     dx.arrays["occ_blk_flat"] = jnp.asarray(occ_blk.astype(np.int32).reshape(-1))
+    dx.arrays["occ1_flat"] = jnp.asarray(
+        build_occ1(codes, idx.A).astype(np.int32).reshape(-1))
 
     rng = np.random.default_rng(5)
     i = jnp.asarray(rng.integers(0, idx.n + 1, size=2048, dtype=np.int32))
@@ -68,7 +71,8 @@ def _bwt_codes(idx):
 def test_backend_agreement(text, reads, dense):
     idx = build_index(text, dense=dense)
     if dense:
-        assert idx.occ1 is not None and idx.kval is not None and idx.fblock is not None
+        assert idx.kval is not None and idx.fblock is not None
+        assert idx.occ1 is None  # superseded by fblock for panel builds
     dx = DeviceIndex.from_index(idx)
     qc, lens = encode_batch(idx, reads)
     lo, hi = find_ranges(dx, qc, lens)

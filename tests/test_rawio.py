@@ -16,9 +16,17 @@ def test_raw_roundtrip(tiny_index, tmp_path):
     assert idx2.n == idx.n and idx2.R == idx.R
     np.testing.assert_array_equal(idx2.alpha.bytes_, idx.alpha.bytes_)
     for name in ("run_start", "run_head", "occ", "F", "samples_last",
-                 "pred_pos", "pred_to_run", "ltk", "occ1"):
+                 "pred_pos", "pred_to_run", "ltk", "fblock"):
         np.testing.assert_array_equal(getattr(idx2, name), getattr(idx, name),
                                       err_msg=name)
+    # raw builds (no full SA -> no kval) keep the occ1+tk1 per-step toehold
+    # fast path; panel builds dropped occ1 in favor of fblock
+    from rowbowt_tpu.construct.build import build_occ1
+
+    run_len0 = np.diff(np.append(idx.run_start, idx.n))
+    codes0 = np.repeat(idx.run_head.astype(np.int64), run_len0)
+    assert idx.occ1 is None
+    np.testing.assert_array_equal(idx2.occ1, build_occ1(codes0, idx.alpha.size))
     assert idx2.doc_names == idx.doc_names
     np.testing.assert_array_equal(idx2.doc_starts, idx.doc_starts)
     # full-SA builds carry kval (SA[i]; toehold == SA[hi]); raw builds fall

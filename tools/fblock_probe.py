@@ -22,13 +22,19 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jax
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def _sync(out):
+    """host readback of one element: the only true sync on the axon tunnel
+    (block_until_ready can return before remote execution finishes)"""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf).ravel()[0]
+
+
 def timeit(fn, *a, reps=3):
-    out = fn(*a)
-    _ = jax.block_until_ready(out)
+    _sync(fn(*a))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = jax.block_until_ready(fn(*a))
+        _sync(fn(*a))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -47,14 +53,19 @@ def part1():
     from rowbowt_tpu.index import RbtIndex
 
     idx = RbtIndex.load(CACHE)
+    print("index loaded", file=sys.stderr)
     if idx.fblock is None:
         codes = codes_from_bwt4(idx.bwt4, idx.n)
         idx.fblock = build_fblock(codes, idx.A)
+        print("fblock built", file=sys.stderr)
     text = np.load(os.path.join(CACHE, "text.npy"))
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
     rng = np.random.default_rng(7)
     tab = idx.alpha.encode_table()
 
+    full = DeviceIndex.from_index(idx)
+    jax.block_until_ready(full.arrays["occ1_flat"])
+    print("index on device", file=sys.stderr)
     for B in (32768, 131072):
         starts = rng.integers(0, len(text) - 101, size=B)
         reads = np.stack([text[s:s + 100] for s in starts])
@@ -62,8 +73,6 @@ def part1():
         reads[bad] = reads[np.flatnonzero(~bad)[0]]
         qc = jnp.asarray(tab[reads.astype(np.int64)].astype(np.int32))
         ln = jnp.full(B, 100, dtype=jnp.int32)
-
-        full = DeviceIndex.from_index(idx)
         variants = {
             "occ1": {k: v for k, v in full.arrays.items() if k != "fblock"},
             "fblock": {k: v for k, v in full.arrays.items() if k != "occ1_flat"},
@@ -72,6 +81,7 @@ def part1():
         }
         ref = None
         for name, arrs in variants.items():
+            print(f"variant {name} B={B}: start", file=sys.stderr)
             dx = DeviceIndex(arrs, full.n, full.R, full.A, full.ma_wsize,
                              full.ftab_k, full.acgt_codes)
             fn = jax.jit(lambda d, q, l: find_ranges(d, q, l, use_ftab=False))
@@ -98,8 +108,8 @@ def part2():
             def body(t, i):
                 r1 = fb[i]
                 r2 = fb[(i * 7 + 13) % nb]
-                v = jnp.sum(r1[:, :8] ^ r2[:, :8], axis=1)
-                return (v * 2654435761 + t).astype(jnp.uint32) % nb
+                v = jnp.sum(r1[:, :8] ^ r2[:, :8], axis=1).astype(jnp.uint32)
+                return (v * jnp.uint32(2654435761) + t.astype(jnp.uint32)) % nb
             return jnp.sum(jax.lax.fori_loop(0, K, body, i0))
 
         @jax.jit
@@ -108,7 +118,8 @@ def part2():
             def body(t, i):
                 v1 = elem[i]
                 v2 = elem[(i * 7 + 13) % m]
-                return ((v1 ^ v2) * 2654435761 + t).astype(jnp.uint32) % m
+                v = (v1 ^ v2).astype(jnp.uint32)
+                return (v * jnp.uint32(2654435761) + t.astype(jnp.uint32)) % m
             return jnp.sum(jax.lax.fori_loop(0, K, body, i0.astype(jnp.uint32) % m))
 
         for B in (32768, 131072, 524288):
