@@ -1,0 +1,399 @@
+"""The production 1000G sharding layout: every dense table partitioned along
+the BWT-position axis over the 'idx' mesh axis, fused-block rank per shard.
+
+Layout (DESIGN.md "sharding"):
+  fb3   [n_idx, per_blk, 24] int32 — fblock rows with SHARD-LOCAL exclusive
+        checkpoints; stays int32 at ANY global n (a shard's local count can't
+        exceed its 128*per_blk positions).  The global rank is
+        base[shard, c] + local checkpoint + in-block popcount.
+  base  [n_idx, 8] — global count of each char before the shard (replicated;
+        n_idx*8 ints, trivial).
+  kval2/phi2 [n_idx, per_pos]  — SA values / dense phi, position-sharded.
+  ms2   [n_idx, per_pos + 1]   — dense marker offsets with the right edge
+        duplicated so a shard can answer ma_start1[i] for any owned i..i+1.
+  mv2   [n_idx, max_ent] int64 — packed markers, entry-sharded on the same
+        position boundaries; goff [n_idx+1] = each shard's first global
+        entry id (replicated).
+  F     [A+1] replicated; k0 scalar replicated.
+
+Every rank/gather is: all shards compute a local candidate, the owner's
+survives one psum over 'idx' (O(batch/dp) ints riding ICI per step — see
+DESIGN.md for the cost model).  Queries shard over 'dp' exactly like the
+replicated path.
+
+Equivalence targets: find_range (rowbowt.hpp:121-131), find_range_w_toehold
+(:167-184), locate_range (toehold_sa.hpp:37-49), find_range_w_markers
+(:292-339) — parity-tested against the single-device engines in
+tests/test_parallel.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rowbowt_tpu.construct.build import DENSE_BLOCK, FB_CKPT, FB_ROW
+from rowbowt_tpu.engine.markers import _append_right
+from rowbowt_tpu.index import RbtIndex
+from rowbowt_tpu.ops.rank import _fb_rank_from_rows
+
+
+@dataclasses.dataclass
+class ShardedDenseIndex:
+    """Host-side container; device_put() places the shards on the mesh."""
+
+    fb3: np.ndarray  # int32[n_idx, per_blk, 24], local checkpoints
+    base: np.ndarray  # int64[n_idx, 8], global count before each shard
+    F: np.ndarray  # int[A+1]
+    n: int
+    A: int
+    n_idx: int
+    per_blk: int
+    k0: int  # (samples_last[R-1] + 1) % n, the initial toehold
+    kval2: np.ndarray | None = None  # [n_idx, per_pos]
+    phi2: np.ndarray | None = None  # [n_idx, per_pos]
+    ms2: np.ndarray | None = None  # [n_idx, per_pos + 1]
+    mv2: np.ndarray | None = None  # int64[n_idx, max_ent]
+    goff: np.ndarray | None = None  # [n_idx + 1]
+    ma_wsize: int = 10
+
+    @property
+    def per_pos(self) -> int:
+        return self.per_blk * DENSE_BLOCK
+
+    @staticmethod
+    def build(idx: RbtIndex, n_idx: int) -> "ShardedDenseIndex":
+        if idx.fblock is None:
+            raise ValueError("ShardedDenseIndex needs an fblock build")
+        dt = idx.idx_dtype
+        fb = idx.fblock
+        nb = fb.shape[0]
+        per_blk = (nb + n_idx - 1) // n_idx
+        fb3 = np.zeros((n_idx, per_blk, FB_ROW), dtype=np.int32)
+        # pad rows: nibble 15 everywhere matches no code
+        fb3[:, :, FB_CKPT:] = -1
+        base = np.zeros((n_idx, FB_CKPT), dtype=np.int64)
+        for s in range(n_idx):
+            b0 = min(s * per_blk, nb)
+            b1 = min(b0 + per_blk, nb)
+            if b1 > b0:
+                fb3[s, : b1 - b0] = fb[b0:b1]
+                base[s] = fb[b0, :FB_CKPT]
+                fb3[s, : b1 - b0, :FB_CKPT] -= fb[b0, :FB_CKPT]
+            else:  # shard owns nothing
+                base[s] = fb[nb - 1, :FB_CKPT]
+
+        per_pos = per_blk * DENSE_BLOCK
+        kval2 = phi2 = ms2 = mv2 = goff = None
+
+        def pos_shard(arr, fill):
+            out = np.full((n_idx, per_pos), fill, dtype=arr.dtype)
+            flat = out.reshape(-1)
+            flat[: arr.shape[0]] = arr
+            return flat.reshape(n_idx, per_pos)
+
+        if idx.kval is not None:
+            kval2 = pos_shard(idx.kval.astype(dt), 0)
+            phi2 = pos_shard(idx.phi1.astype(dt), 0)
+        if idx.ma_start1 is not None:
+            ms = idx.ma_start1.astype(dt)  # [n+1]
+            M = int(ms[-1])
+            ms2 = np.full((n_idx, per_pos + 1), M, dtype=dt)
+            for s in range(n_idx):
+                p0 = s * per_pos
+                p1 = min(p0 + per_pos + 1, ms.shape[0])
+                if p1 > p0:
+                    ms2[s, : p1 - p0] = ms[p0:p1]
+            goff = np.empty(n_idx + 1, dtype=np.int64)
+            goff[:n_idx] = ms2[:, 0]
+            goff[n_idx] = M
+            max_ent = max(1, int((ms2[:, -1] - ms2[:, 0]).max()))
+            mv2 = np.zeros((n_idx, max_ent), dtype=np.int64)
+            for s in range(n_idx):
+                e0, e1 = int(goff[s]), int(ms2[s, -1])
+                mv2[s, : e1 - e0] = idx.ma_val[e0:e1]
+        k0 = int((idx.samples_last[-1] + 1) % idx.n) if idx.samples_last is not None else 0
+        return ShardedDenseIndex(
+            fb3=fb3, base=base, F=idx.F.astype(dt), n=idx.n, A=idx.A,
+            n_idx=n_idx, per_blk=per_blk, k0=k0,
+            kval2=kval2, phi2=phi2, ms2=ms2, mv2=mv2, goff=goff,
+            ma_wsize=idx.ma_wsize,
+        )
+
+    def device_put(self, mesh: Mesh) -> dict:
+        sh = NamedSharding(mesh, P("idx"))
+        rep = NamedSharding(mesh, P())
+        d = {
+            "fb3": jax.device_put(self.fb3, NamedSharding(mesh, P("idx", None, None))),
+            "base": jax.device_put(self.base, rep),
+            "F": jax.device_put(self.F, rep),
+        }
+        for name in ("kval2", "phi2", "ms2", "mv2"):
+            v = getattr(self, name)
+            if v is not None:
+                d[name] = jax.device_put(v, NamedSharding(mesh, P("idx", None)))
+        if self.goff is not None:
+            d["goff"] = jax.device_put(self.goff, rep)
+        return d
+
+
+def _specs(tables):
+    by_name = {
+        "fb3": P("idx", None, None), "base": P(), "F": P(),
+        "kval2": P("idx", None), "phi2": P("idx", None),
+        "ms2": P("idx", None), "mv2": P("idx", None), "goff": P(),
+    }
+    return {k: by_name[k] for k in tables}
+
+
+def _mk_rank(sdx: ShardedDenseIndex, tb):
+    """Shard-local fused-block rank closure (call inside shard_map)."""
+    my = jax.lax.axis_index("idx")
+    fb_loc = tb["fb3"][0] if tb["fb3"].ndim == 3 else tb["fb3"]
+    per_blk = sdx.per_blk
+    n = sdx.n
+    F_ = tb["F"]
+    base8 = tb["base"][my]  # [8] global count before this shard
+
+    def rank(i, c):
+        csafe = jnp.maximum(c, 0)
+        isafe = jnp.minimum(i, n - 1)
+        blk = isafe >> 7
+        lblk = blk - my * per_blk
+        owner = (lblk >= 0) & (lblk < per_blk)
+        row = fb_loc[jnp.clip(lblk, 0, per_blk - 1)]
+        v = _fb_rank_from_rows(row, isafe & (DENSE_BLOCK - 1), csafe)
+        sel = jnp.arange(FB_CKPT, dtype=jnp.int32)[None, :] == csafe[:, None].astype(jnp.int32)
+        b = jnp.sum(jnp.where(sel, base8[None, :], 0), axis=1).astype(v.dtype)
+        v = jax.lax.psum(jnp.where(owner, v + b, 0), "idx")
+        total = F_[csafe + 1] - F_[csafe]
+        v = jnp.where(i >= n, total, v)
+        return jnp.where(c < 0, 0, v).astype(i.dtype)
+
+    return rank
+
+
+def _pos_pick(sdx: ShardedDenseIndex, tb, name, i):
+    """Owner-picked gather from a position-sharded [n_idx, per_pos] table."""
+    my = jax.lax.axis_index("idx")
+    loc = tb[name][0] if tb[name].ndim == 2 else tb[name]
+    per = sdx.per_pos
+    li = i - my * per
+    owner = (li >= 0) & (li < per)
+    v = loc[jnp.clip(li, 0, per - 1)]
+    return jax.lax.psum(jnp.where(owner, v, 0), "idx")
+
+
+def _lf_body(sdx, rank, F_, qc, lens_, L):
+    """Shared LF-loop body factory: returns body(j, (lo, hi, done))."""
+    dt = lens_.dtype
+
+    def body(j, st):
+        lo, hi, done = st
+        c = qc[:, L - 1 - j].astype(dt)
+        active = (~done) & (j < lens_)
+        cb = rank(lo, c)
+        ci = rank(hi + 1, c) - cb
+        csafe = jnp.maximum(c, 0)
+        nlo = F_[csafe] + cb
+        nhi = nlo + ci - 1
+        empty = (ci <= 0) | (c < 0)
+        nlo = jnp.where(empty, jnp.ones((), dt), nlo)
+        nhi = jnp.where(empty, jnp.zeros((), dt), nhi)
+        lo = jnp.where(active, nlo, lo)
+        hi = jnp.where(active, nhi, hi)
+        done = done | (active & empty)
+        return lo, hi, done
+
+    return body
+
+
+def find_ranges_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex, tables: dict,
+                              qcodes, lengths):
+    """Batched count over the position-sharded fblock index."""
+    L = qcodes.shape[1]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(_specs(tables), P("dp", None), P("dp")),
+             out_specs=(P("dp"), P("dp")))
+    def run(tb, qc, lens):
+        rank = _mk_rank(sdx, tb)
+        dt = tb["F"].dtype
+        lens_ = lens.astype(dt)
+        zero = (qc[:, 0] * 0).astype(dt)
+        st = (zero, zero + (sdx.n - 1), zero != 0)
+        lo, hi, _ = jax.lax.fori_loop(
+            0, L, _lf_body(sdx, rank, tb["F"], qc, lens_, L), st)
+        return lo, hi
+
+    return jax.jit(run)(tables, qcodes, lengths)
+
+
+def find_ranges_w_toehold_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
+                                        tables: dict, qcodes, lengths):
+    """Count LF + final kval pick: the sharded form of the kval invariant
+    (toehold == SA[final hi], ops.rank.toehold_from_range)."""
+    L = qcodes.shape[1]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(_specs(tables), P("dp", None), P("dp")),
+             out_specs=(P("dp"), P("dp"), P("dp")))
+    def run(tb, qc, lens):
+        rank = _mk_rank(sdx, tb)
+        dt = tb["F"].dtype
+        lens_ = lens.astype(dt)
+        zero = (qc[:, 0] * 0).astype(dt)
+        st = (zero, zero + (sdx.n - 1), zero != 0)
+        lo, hi, _ = jax.lax.fori_loop(
+            0, L, _lf_body(sdx, rank, tb["F"], qc, lens_, L), st)
+        k = _pos_pick(sdx, tb, "kval2", jnp.clip(hi, 0, sdx.n - 1)).astype(dt)
+        k = jnp.where(hi < lo, jnp.zeros((), dt), k)
+        return lo, hi, k
+
+    return jax.jit(run)(tables, qcodes, lengths)
+
+
+def locate_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex, tables: dict,
+                         lo, hi, k, max_hits: int):
+    """Sharded phi walk: each hop is one owner-picked phi2 gather + psum."""
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(_specs(tables), P("dp"), P("dp"), P("dp")),
+             out_specs=(P("dp", None), P("dp")))
+    def run(tb, lo, hi, k):
+        dt = lo.dtype
+        n_occ = jnp.clip(hi - lo + 1, 0, max_hits)
+        locs = jnp.full((lo.shape[0], max_hits), -1, dtype=dt)
+        locs = locs.at[:, 0].set(jnp.where(n_occ > 0, k, -1))
+
+        def body(j, st):
+            locs, cur = st
+            cur = _pos_pick(sdx, tb, "phi2",
+                            jnp.clip(cur, 0, sdx.n - 1)).astype(dt)
+            locs = locs.at[:, j].set(jnp.where(j < n_occ, cur, -1))
+            return locs, cur
+
+        if max_hits > 1:
+            locs, _ = jax.lax.fori_loop(1, max_hits, body, (locs, k))
+        return locs, n_occ
+
+    return jax.jit(run)(tables, lo, hi, k)
+
+
+def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
+                                        tables: dict, qcodes, lengths,
+                                        wsize: int, max_range: int = 1 << 62,
+                                        max_k: int = 32):
+    """Sharded RowBowt::find_range_w_markers: the window loop records global
+    (entry offset, count) pairs via ms2 owner picks; value expansion resolves
+    each window's entry ids against the entry-sharded mv2 (one [B, max_k]
+    psum per window pass, ~L/wsize per batch — not per step)."""
+    B, L = qcodes.shape
+    W = L // wsize + 2
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(_specs(tables), P("dp", None), P("dp")),
+             out_specs=(P("dp"), P("dp"), P("dp", None), P("dp"), P("dp")))
+    def run(tb, qc, lens):
+        my = jax.lax.axis_index("idx")
+        rank = _mk_rank(sdx, tb)
+        dt = tb["F"].dtype
+        F_ = tb["F"]
+        m = lens.astype(dt)
+        Bl = qc.shape[0]
+        mr = jnp.asarray(min(int(max_range), int(jnp.iinfo(dt).max)), dtype=dt)
+        ms_loc = tb["ms2"][0] if tb["ms2"].ndim == 2 else tb["ms2"]
+        per = sdx.per_pos
+
+        def ms_at(i):  # global ma_start1[i], i in [0, n]
+            li = i - my * per
+            owner = (li >= 0) & (li < per)
+            owner = owner | ((my == sdx.n_idx - 1) & (li == per))
+            v = ms_loc[jnp.clip(li, 0, per)]
+            return jax.lax.psum(jnp.where(owner, v, 0), "idx")
+
+        zero = (qc[:, 0] * 0).astype(dt)
+        lo = zero
+        hi = zero + (sdx.n - 1)
+        too_short = m < wsize
+        done = too_short
+        window_ei = m
+        # derive from a lane value so the carries are dp-varying from iter 0
+        ws = jnp.zeros((Bl, W), dtype=dt) + zero[:, None]
+        wc = jnp.zeros((Bl, W), dtype=dt) + zero[:, None]
+        nw = zero
+        rows = jnp.arange(Bl)
+
+        def record(lo, hi, gate, ws, wc, nw):
+            small = (hi - lo + 1) <= mr
+            do = gate & small
+            s = ms_at(jnp.clip(jnp.where(do, lo, 0), 0, sdx.n))
+            e = ms_at(jnp.clip(jnp.where(do, hi + 1, 0), 0, sdx.n))
+            cnt = jnp.where(do, jnp.maximum(e - s, 0), 0).astype(dt)
+            slot = jnp.minimum(nw, W - 1).astype(jnp.int32)
+            ws = ws.at[rows, slot].set(jnp.where(do, s.astype(dt), ws[rows, slot]))
+            wc = wc.at[rows, slot].set(jnp.where(do, cnt, wc[rows, slot]))
+            nw = nw + do.astype(dt)
+            return ws, wc, nw
+
+        def body(j, st):
+            lo, hi, done, window_ei, ws, wc, nw = st
+            c = qc[:, L - 1 - j].astype(dt)
+            active = (~done) & (j < m)
+            cb = rank(lo, c)
+            ci = rank(hi + 1, c) - cb
+            csafe = jnp.maximum(c, 0)
+            nlo = F_[csafe] + cb
+            nhi = nlo + ci - 1
+            empty = (ci <= 0) | (c < 0)
+            nlo = jnp.where(empty, jnp.ones((), dt), nlo)
+            nhi = jnp.where(empty, jnp.zeros((), dt), nhi)
+            fail = active & empty
+            nw = jnp.where(fail, 0, nw)
+            lo = jnp.where(active, nlo, lo)
+            hi = jnp.where(active, nhi, hi)
+            done = done | fail
+            ok = active & ~empty
+            trigger = ok & (window_ei - (m - j) >= wsize)
+            ws, wc, nw = record(lo, hi, trigger, ws, wc, nw)
+            window_ei = jnp.where(trigger, m - j, window_ei)
+            return lo, hi, done, window_ei, ws, wc, nw
+
+        lo, hi, done, window_ei, ws, wc, nw = jax.lax.fori_loop(
+            0, L, body, (lo, hi, done, window_ei, ws, wc, nw))
+        final = (~done) & (~too_short) & (hi >= lo) & ((m - 1) % wsize != 0)
+        ws, wc, nw = record(lo, hi, final, ws, wc, nw)
+
+        # value expansion against the entry-sharded mv2
+        mv_loc = tb["mv2"][0] if tb["mv2"].ndim == 2 else tb["mv2"]
+        goff = tb["goff"]
+        e0 = goff[my]
+        stored = goff[my + 1] - e0
+        buf = jnp.full((Bl, max_k), -1, dtype=jnp.int64)
+        used = zero
+        total = zero
+        offs = jnp.arange(max_k, dtype=dt)[None, :]
+        for w in range(W):
+            live = w < nw
+            s = ws[:, w]
+            cnt = jnp.where(live, wc[:, w], 0)
+            g = s[:, None].astype(jnp.int64) + offs.astype(jnp.int64)
+            lg = g - e0
+            owner = (lg >= 0) & (lg < stored) & (offs < cnt[:, None])
+            v = mv_loc[jnp.clip(lg, 0, mv_loc.shape[0] - 1)]
+            vals = jax.lax.psum(jnp.where(owner, v, 0), "idx")
+            vals = jnp.where(offs < cnt[:, None], vals, -1)
+            buf, used = _append_right(buf, used, vals, jnp.minimum(cnt, max_k))
+            total = total + cnt
+        one = jnp.ones((), dt)
+        z = jnp.zeros((), dt)
+        lo = jnp.where(done | too_short, one, lo)
+        hi = jnp.where(done | too_short, z, hi)
+        return lo, hi, buf, used, (total > used)
+
+    return jax.jit(run)(tables, qcodes, lengths)

@@ -111,3 +111,72 @@ def test_multihost_single_process_path(tiny_index):
             (27430, 27432), (17409, 17409), (17416, 17417)]
     assert [(int(a), int(b)) for a, b in zip(lo0, hi0)] == want
     assert mh.is_host0()
+
+
+def test_sharded_dense_count_toehold_locate(rand_index):
+    """Position-sharded fblock layout (the 1000G design, sharded_dense.py)
+    must match naive on count + toehold + phi locate."""
+    from rowbowt_tpu.parallel.sharded_dense import (
+        ShardedDenseIndex,
+        find_ranges_sharded_dense,
+        find_ranges_w_toehold_sharded_dense,
+        locate_sharded_dense,
+    )
+
+    idx, text = rand_index
+    rng = np.random.default_rng(21)
+    reads = []
+    for _ in range(16):
+        L = int(rng.integers(4, 30))
+        p = int(rng.integers(0, len(text) - L))
+        reads.append(bytes(text[p:p + L]))
+    mesh = make_mesh(n_dp=2, n_idx=4)
+    sdx = ShardedDenseIndex.build(idx, n_idx=4)
+    tables = sdx.device_put(mesh)
+    qc, lens = encode_batch(idx, reads)
+    lo, hi = find_ranges_sharded_dense(mesh, sdx, tables, qc, lens)
+    tlo, thi, k = find_ranges_w_toehold_sharded_dense(mesh, sdx, tables, qc, lens)
+    locs, cnt = locate_sharded_dense(mesh, sdx, tables, tlo, thi, k, max_hits=6)
+    lo, hi, tlo, thi, k, locs, cnt = map(
+        np.asarray, (lo, hi, tlo, thi, k, locs, cnt))
+    for b, r in enumerate(reads):
+        codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+        assert (lo[b], hi[b]) == naive.find_range(idx, codes), (b, r)
+        wrn, wk = naive.find_range_w_toehold(idx, codes)
+        assert (tlo[b], thi[b]) == wrn, b
+        if wrn[1] >= wrn[0]:
+            assert k[b] == wk, b
+            assert [int(x) for x in locs[b, : cnt[b]]] == \
+                naive.locate_range(idx, *wrn, wk, 6), b
+
+
+def test_sharded_dense_markers(rand_index):
+    """Sharded window-marker queries == the replicated engine, buffer-exact."""
+    from rowbowt_tpu.engine.markers import find_ranges_w_markers
+    from rowbowt_tpu.parallel.sharded_dense import (
+        ShardedDenseIndex,
+        find_ranges_w_markers_sharded_dense,
+    )
+
+    idx, text = rand_index
+    rng = np.random.default_rng(33)
+    reads = []
+    for _ in range(16):
+        L = int(rng.integers(idx.ma_wsize, 40))
+        p = int(rng.integers(0, len(text) - L))
+        reads.append(bytes(text[p:p + L]))
+    qc, lens = encode_batch(idx, reads)
+    dx = DeviceIndex.from_index(idx)
+    rlo, rhi, rbuf, rused, rovf = find_ranges_w_markers(
+        dx, qc, lens, wsize=idx.ma_wsize, max_k=12)
+
+    mesh = make_mesh(n_dp=2, n_idx=4)
+    sdx = ShardedDenseIndex.build(idx, n_idx=4)
+    tables = sdx.device_put(mesh)
+    lo, hi, buf, used, ovf = find_ranges_w_markers_sharded_dense(
+        mesh, sdx, tables, qc, lens, wsize=idx.ma_wsize, max_k=12)
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(rlo))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(rhi))
+    np.testing.assert_array_equal(np.asarray(used), np.asarray(rused))
+    np.testing.assert_array_equal(np.asarray(buf), np.asarray(rbuf))
+    np.testing.assert_array_equal(np.asarray(ovf), np.asarray(rovf))
