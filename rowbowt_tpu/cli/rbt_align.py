@@ -33,8 +33,9 @@ def main(argv=None):
     p.add_argument("-m", "--markers", action="store_true",
                    help="also report markers over the final range")
     p.add_argument("-x", "--fbb", action="store_true",
-                   help="accepted for reference-CLI parity; the dense occ "
-                        "tables are this design's fbb analog (see README)")
+                   help="accepted for reference-CLI parity; the index "
+                        "self-describes its backend, so this is a no-op here "
+                        "(rank-only -x indexes simply lack the toehold SA)")
     p.add_argument("-b", "--batch-size", type=int, default=4096)
     p.add_argument("--max-hits", type=int, default=None,
                    help="cap located occurrences (default: unbounded)")
@@ -42,6 +43,11 @@ def main(argv=None):
 
     t_load = Timer()
     idx = load_index(args.inpre, sa=args.sam, ma=args.markers, dl=args.sam)
+    if args.sam and idx.samples_last is None:
+        eprint("error: index has no toehold SA (built with -x or without -s); "
+               "locate is unavailable — mirror of fbb_string's no-select limit "
+               "(fbb_string.hpp:55-59)")
+        return 1
     dx = device_index(idx)
     load_s = t_load.lap()
 

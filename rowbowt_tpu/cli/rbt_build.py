@@ -39,8 +39,9 @@ def main(argv=None):
     p.add_argument("--wsize", type=int, default=10,
                    help="marker window size (native mode, default 10)")
     p.add_argument("-x", "--fbb", action="store_true",
-                   help="accepted for reference-CLI parity; the dense occ "
-                        "tables are this design's fbb analog (see README)")
+                   help="rank-only backend (the reference's fbb_string, "
+                        "rowbowt_io.hpp:91-125): no toehold SA is built, so "
+                        "count/markers work but locate does not; smaller index")
     p.add_argument("--no-dense", action="store_true",
                    help="skip dense occ tables (smallest index, slower queries)")
     args = p.parse_args(argv)
@@ -62,6 +63,10 @@ def main(argv=None):
         return 0
 
     ftab_k = args.k if args.ft else 0
+    if args.fbb and args.tsa:
+        # mirror the reference's warning (rowbowt_io.hpp:106-108)
+        eprint("Warning: fbb backend does not support the toehold suffix array")
+        args.tsa = False
     if args.fasta:
         from rowbowt_tpu.construct import build_panel
         from rowbowt_tpu.construct.build import build_index_from_panel

@@ -148,3 +148,24 @@ def test_align_markers_no_truncation(tmp_path, capsys):
     got = out[1].split()[1:]
     assert len(want) > 64, "fixture no longer exercises overflow"
     assert len(got) == len(want)
+
+
+def test_build_fbb_rank_only(tmp_path, capsys):
+    """rbt_build -x: rank-only backend (reference fbb_string semantics) —
+    counts byte-golden, -s refused like fbb's missing select."""
+    from rowbowt_tpu.cli import rbt_align, rbt_build
+
+    out = str(tmp_path / "fbb.idx")
+    rc = rbt_build.main([
+        "--fasta", f"{REF}/small.fa", "--vcf", f"{REF}/small.fa.vcf.gz",
+        "-x", "-s", "-m", "-l", "-o", out,  # -s must be warned away, not honored
+    ])
+    assert rc == 0
+    assert "fbb backend does not support" in capsys.readouterr().err
+
+    assert rbt_align.main([out, f"{REF}/simple_query.fq"]) == 0
+    got = capsys.readouterr().out
+    assert got == GOLDEN_COUNTS
+
+    assert rbt_align.main(["-s", out, f"{REF}/simple_query.fq"]) == 1
+    assert "locate is unavailable" in capsys.readouterr().err

@@ -117,3 +117,53 @@ def test_get_seeds_greedy_plain(tiny_index):
     assert out and out[-1].qstart == 0  # unconditional tail (rowbowt.hpp:212)
     out2 = naive.get_seeds_greedy_w_sample(idx, codes, min_length=100)
     assert out2 == []  # the _w_sample variant gates the tail
+
+
+def test_dual_backend_fbb_analog(tiny_panel):
+    """The reference runs its golden suite over BOTH backends
+    (testing::Types<rle_string_sd, fbb_string>, rb_tests.cpp:292-304), with
+    locate SFINAE-stubbed for fbb (no select).  Mirror: build the rank-only
+    -x index (no toehold SA) and require Count + Marker golden parity; assert
+    locate is genuinely unavailable; record the memory saving.
+    """
+    import jax.numpy as jnp
+
+    from rowbowt_tpu.construct.build import build_index_from_panel
+    from rowbowt_tpu.engine.count import find_ranges
+    from rowbowt_tpu.engine.device import DeviceIndex
+    from rowbowt_tpu.engine.markers import markers_for_ranges
+
+    full = build_index_from_panel(tiny_panel)
+    fbb = build_index_from_panel(tiny_panel, with_sa_samples=False)
+    assert fbb.samples_last is None and fbb.kval is None and fbb.phi1 is None
+
+    def nbytes(ix):
+        return sum(getattr(ix, f).nbytes for f in (
+            "run_start", "run_head", "occ", "F", "cruns_flat", "cruns_off",
+            "samples_last", "pred_pos", "pred_to_run", "ltk", "ma_row",
+            "ma_val", "ma_start1", "fblock", "kval", "phi1")
+            if getattr(ix, f) is not None)
+
+    assert nbytes(fbb) < 0.6 * nbytes(full)  # rank-only is the smaller index
+
+    dx = DeviceIndex.from_index(fbb)
+    assert "samples_last" not in dx.arrays  # locate support truly absent
+    qc = np.stack([np.pad(encode_query(fbb, s), (0, 0)) for s in SIMPLE_READS])
+    lens = np.full(len(SIMPLE_READS), len(SIMPLE_READS[0]), np.int32)
+    lo, hi = find_ranges(dx, jnp.asarray(qc.astype(np.int32)), jnp.asarray(lens))
+    want = [(24279, 24280), (24175, 24175), (27430, 27432),
+            (27430, 27432), (17409, 17409), (17416, 17417)]
+    assert [(int(a), int(b)) for a, b in zip(np.asarray(lo), np.asarray(hi))] == want
+
+    # Marker golden (rb_tests.cpp:123-141): pos 289 allele 0 / allele 1, then
+    # pos 4650 — queried over the final ranges, like rb_align -m
+    mv, mc = markers_for_ranges(dx, lo, hi, max_k=8)
+    mv, mc = np.asarray(mv), np.asarray(mc)
+    got = [sorted({(int(p), int(a)) for p, a in
+                   zip(marker_pos(mv[i, :mc[i]]), marker_allele(mv[i, :mc[i]]))})
+           for i in range(len(SIMPLE_READS))]
+    assert got[0] == [(289, 0)]
+    assert got[1] == [(289, 1)]
+    assert got[2] == got[3] == []
+    assert got[4] == [(4650, 0)]
+    assert got[5] == [(4650, 1)]
