@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("-b", "--batch-size", type=int, default=4096)
     p.add_argument("--max-hits", type=int, default=None,
                    help="cap located occurrences (default: unbounded)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax profiler trace of the query loop to DIR "
+                        "(view with tensorboard / xprof)")
     args = p.parse_args(argv)
 
     t_load = Timer()
@@ -61,7 +64,17 @@ def main(argv=None):
 
     out = sys.stdout
     t_query = Timer()
+    prof = None
+    if args.profile:
+        import jax.profiler
+
+        prof = jax.profiler.trace(args.profile)
+        prof.__enter__()
+    n_reads = 0
+    n_chars = 0
     for names, qc, lens in iter_query_batches(idx, args.fastq, args.batch_size):
+        n_reads += len(names)
+        n_chars += int(np.asarray(lens).sum())
         if args.sam:
             lo, hi, k = find_ranges_w_toehold(dx, qc, lens)
         else:
@@ -108,7 +121,16 @@ def main(argv=None):
                     m = np.int64(mvals[b, j])
                     parts.append(f"{int(marker_pos(m))}/{int(marker_allele(m))} ")
                 out.write("".join(parts) + "\n")
-    eprint(f"{load_s} {t_query.lap()}")
+    if prof is not None:
+        prof.__exit__(None, None, None)
+        eprint(f"profiler trace written to {args.profile}")
+    query_s = t_query.lap()
+    # the reference's "<load_s> <query_s>" stderr line (rb_align.cpp:164-192),
+    # plus the BASELINE.md meters
+    eprint(f"{load_s} {query_s}")
+    if query_s > 0:
+        eprint(f"meter: {n_reads/query_s:,.0f} reads/s, "
+               f"{n_chars/query_s/1e6:,.1f} M LF-steps/s")
     return 0
 
 

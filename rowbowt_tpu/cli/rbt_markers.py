@@ -57,6 +57,8 @@ def main(argv=None):
     p.add_argument("-b", "--batch-size", type=int, default=2048)
     p.add_argument("--max-seeds", type=int, default=8)
     p.add_argument("--max-markers", type=int, default=32)
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax profiler trace of the marker loop to DIR")
     args = p.parse_args(argv)
 
     if args.overlap:
@@ -104,10 +106,19 @@ def main(argv=None):
         for ms in seeds:
             out.write(ms.print_buf() + "\n")
 
+    prof = None
+    if args.profile:
+        import jax.profiler
+
+        prof = jax.profiler.trace(args.profile)
+        prof.__enter__()
     if args.lmem:
         _run_lmem(args, idx, dx, K, filter_and_print)
     else:
         _run_greedy(args, idx, dx, S, K, filter_and_print)
+    if prof is not None:
+        prof.__exit__(None, None, None)
+        eprint(f"profiler trace written to {args.profile}")
     eprint(f"counting markers took: {t.lap()} seconds")
     return 0
 
