@@ -190,15 +190,21 @@ def _pos_pick(sdx: ShardedDenseIndex, tb, name, i):
 
 
 def _lf_body(sdx, rank, F_, qc, lens_, L):
-    """Shared LF-loop body factory: returns body(j, (lo, hi, done))."""
+    """Shared LF-loop body factory: returns body(j, (lo, hi, done)).
+
+    Both ranks of the step (at lo and hi+1) ride ONE concatenated [2B]
+    owner-psum — one collective per LF step, not two (halves the measured
+    shard_map overhead, tools/sharded_probe.py)."""
     dt = lens_.dtype
 
     def body(j, st):
         lo, hi, done = st
         c = qc[:, L - 1 - j].astype(dt)
         active = (~done) & (j < lens_)
-        cb = rank(lo, c)
-        ci = rank(hi + 1, c) - cb
+        both = rank(jnp.concatenate([lo, hi + 1]), jnp.concatenate([c, c]))
+        B = lo.shape[0]
+        cb = both[:B]
+        ci = both[B:] - cb
         csafe = jnp.maximum(c, 0)
         nlo = F_[csafe] + cb
         nhi = nlo + ci - 1
@@ -332,8 +338,9 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
         def record(lo, hi, gate, ws, wc, nw):
             small = (hi - lo + 1) <= mr
             do = gate & small
-            s = ms_at(jnp.clip(jnp.where(do, lo, 0), 0, sdx.n))
-            e = ms_at(jnp.clip(jnp.where(do, hi + 1, 0), 0, sdx.n))
+            both = ms_at(jnp.clip(jnp.concatenate([
+                jnp.where(do, lo, 0), jnp.where(do, hi + 1, 0)]), 0, sdx.n))
+            s, e = both[: lo.shape[0]], both[lo.shape[0]:]
             cnt = jnp.where(do, jnp.maximum(e - s, 0), 0).astype(dt)
             slot = jnp.minimum(nw, W - 1).astype(jnp.int32)
             ws = ws.at[rows, slot].set(jnp.where(do, s.astype(dt), ws[rows, slot]))
@@ -345,8 +352,9 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
             lo, hi, done, window_ei, ws, wc, nw = st
             c = qc[:, L - 1 - j].astype(dt)
             active = (~done) & (j < m)
-            cb = rank(lo, c)
-            ci = rank(hi + 1, c) - cb
+            both = rank(jnp.concatenate([lo, hi + 1]), jnp.concatenate([c, c]))
+            cb = both[: lo.shape[0]]
+            ci = both[lo.shape[0]:] - cb
             csafe = jnp.maximum(c, 0)
             nlo = F_[csafe] + cb
             nhi = nlo + ci - 1
