@@ -264,11 +264,14 @@ def run_config(name: str) -> dict:
 
     @jax.jit
     def greedy_all(dx, qf, qr, ln, salt):
+        # use_ftab=False is the reference rb_markers DEFAULT (-f is opt-in,
+        # rb_markers.cpp:56-134); the ftab-restart variant re-gathers a [B, k]
+        # window every step and is benched separately below
         o = jnp.zeros((), dtype=jnp.int64)
         for q in (qf, qr):
             slo, shi, sqs, sqe, mvals, mcnt, ns = markers_greedy_seeding(
                 dx, q, ln + salt - salt, wsize=10, max_range=1000,
-                max_seeds=8, max_k=16)
+                max_seeds=8, max_k=16, use_ftab=False)
             o = o + jnp.sum(mcnt.astype(jnp.int64)) + jnp.sum(ns.astype(jnp.int64))
         return o
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from rowbowt_tpu.engine.device import DeviceIndex
 from rowbowt_tpu.ops import rank as R
+from rowbowt_tpu.ops import update as U
 
 
 @jax.jit
@@ -194,7 +195,8 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     rows = jnp.arange(B)
 
     def put(arr, slot, mask, val):
-        return arr.at[rows, slot].set(jnp.where(mask, val, arr[rows, slot]))
+        # one-hot select, not a scatter (TPU serializes scatters; ops/update.py)
+        return U.slot_set(arr, slot, mask, val)
 
     def body(j, st):
         lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp = st

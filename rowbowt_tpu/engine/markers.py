@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from rowbowt_tpu.engine.device import DeviceIndex
 from rowbowt_tpu.ops import rank as R
+from rowbowt_tpu.ops import update as U
 
 
 def _append_right(buf, used, vals, cnt):
@@ -78,8 +79,8 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
         s, cnt = R.markers_bounds(dx, jnp.where(do, lo, 1), jnp.where(do, hi, 0))
         cnt = jnp.where(do, cnt, 0).astype(dt)
         slot = jnp.minimum(nw, W - 1).astype(jnp.int32)
-        ws = ws.at[rows, slot].set(jnp.where(do, s.astype(dt), ws[rows, slot]))
-        wc = wc.at[rows, slot].set(jnp.where(do, cnt, wc[rows, slot]))
+        ws = U.slot_set(ws, slot, do, s.astype(dt))
+        wc = U.slot_set(wc, slot, do, cnt)
         nw = nw + do.astype(dt)
         return ws, wc, nw
 

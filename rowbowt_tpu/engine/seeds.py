@@ -28,14 +28,15 @@ import jax.numpy as jnp
 
 from rowbowt_tpu.engine.device import DeviceIndex
 from rowbowt_tpu.ops import rank as R
+from rowbowt_tpu.ops import update as U
 
 
 def _scatter_rows(arr, slot, mask, val):
-    """arr[b, slot[b]] = val[b] where mask[b]; arr is [B, S] (or [B, S, K])."""
-    B = arr.shape[0]
-    rows = jnp.arange(B)
-    cur = arr[rows, slot]
-    return arr.at[rows, slot].set(jnp.where(mask if arr.ndim == 2 else mask[:, None], val, cur))
+    """arr[b, slot[b]] = val[b] where mask[b]; one-hot select, not a scatter
+    (TPU serializes scatters; ops/update.py)."""
+    from rowbowt_tpu.ops.update import slot_set
+
+    return slot_set(arr, slot, mask, val)
 
 
 @partial(jax.jit, static_argnames=("min_length", "max_seeds"))
@@ -215,15 +216,15 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     sqe = jnp.zeros((B, S), dtype=dt)
     ns = jnp.zeros(B, dtype=dt)
     rows = jnp.arange(B)
+    qflat = qcodes.reshape(-1).astype(dt)  # row-major [B*L]: lane b col j at b*L+j
+    lane_base = (jnp.arange(B, dtype=dt) * L)
 
     lf = R.lf_step_auto(dx)
 
     def ftab_probe(i):
         """search_ftab over codes[m-i-1-k : m-i-1] == columns L-i-1-k + t."""
         cols = (L - 1 - i - ftk)[:, None] + jnp.arange(ftk, dtype=dt)[None, :]
-        window = jnp.take_along_axis(
-            qcodes, jnp.clip(cols, 0, L - 1).astype(qcodes.dtype), axis=1
-        )
+        window = qflat[lane_base[:, None] + jnp.clip(cols, 0, L - 1)]
         kc = R.kmer_codes(dx, window)
         flo, fhi, hit = R.ftab_lookup(dx, kc)
         return flo.astype(dt), fhi.astype(dt), hit
@@ -232,8 +233,8 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
         (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
          slo, shi, sqs, sqe, ns) = st
         active = i < m
-        col = jnp.clip(L - 1 - i, 0, L - 1).astype(qcodes.dtype)
-        c = jnp.take_along_axis(qcodes, col[:, None], axis=1)[:, 0].astype(dt)
+        col = jnp.clip(L - 1 - i, 0, L - 1).astype(dt)
+        c = qflat[lane_base + col].astype(dt)
         nlo, nhi = lf(dx, lo, hi, c)
 
         ok = active & (nlo <= nhi)
@@ -252,9 +253,9 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
                                    jnp.where(go, thi, 0))
         cnt = jnp.where(go, cnt, 0).astype(dt)
         slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
-        ws = ws.at[rows, slot_r].set(jnp.where(go, s_.astype(dt), ws[rows, slot_r]))
-        wc = wc.at[rows, slot_r].set(jnp.where(go, cnt, wc[rows, slot_r]))
-        wseed = wseed.at[rows, slot_r].set(jnp.where(go, ns, wseed[rows, slot_r]))
+        ws = U.slot_set(ws, slot_r, go, s_.astype(dt))
+        wc = U.slot_set(wc, slot_r, go, cnt)
+        wseed = U.slot_set(wseed, slot_r, go, ns)
         nrec = nrec + go.astype(dt)
         window_ei = jnp.where(w_trigger, m - i - 1, window_ei)
 
@@ -310,9 +311,9 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     s_, cnt = R.markers_bounds(dx, jnp.where(go, lo, 1), jnp.where(go, hi, 0))
     cnt = jnp.where(go, cnt, 0).astype(dt)
     slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
-    ws = ws.at[rows, slot_r].set(jnp.where(go, s_.astype(dt), ws[rows, slot_r]))
-    wc = wc.at[rows, slot_r].set(jnp.where(go, cnt, wc[rows, slot_r]))
-    wseed = wseed.at[rows, slot_r].set(jnp.where(go, ns, wseed[rows, slot_r]))
+    ws = U.slot_set(ws, slot_r, go, s_.astype(dt))
+    wc = U.slot_set(wc, slot_r, go, cnt)
+    wseed = U.slot_set(wseed, slot_r, go, ns)
     nrec = nrec + go.astype(dt)
     emit = m > 0
     rec = emit & (ns < S)
@@ -334,16 +335,14 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
         live = (w < nrec) & (wseed[:, w] < S)
         sl = jnp.clip(wseed[:, w], 0, S - 1).astype(jnp.int32)
         cnt = jnp.where(live, wc[:, w], 0)
-        u = used_s[rows, sl]
+        u = U.slot_get(used_s, sl)
         src = slots - u[:, None]
         take = (src >= 0) & (src < jnp.minimum(cnt, K)[:, None]) & live[:, None]
         pos = jnp.minimum(ws[:, w][:, None] + jnp.clip(src, 0, K - 1), M - 1)
         gathered = ma_val[pos]
-        cur = mvals[rows, sl]
-        mvals = mvals.at[rows, sl].set(jnp.where(take, gathered, cur))
-        used_s = used_s.at[rows, sl].set(
-            jnp.where(live, jnp.minimum(u + cnt, K), u))
-        mcnt = mcnt.at[rows, sl].set(mcnt[rows, sl] + cnt)
+        mvals = U.slot_set_rows(mvals, sl, take, gathered)
+        used_s = U.slot_set(used_s, sl, live, jnp.minimum(u + cnt, K))
+        mcnt = U.slot_set(mcnt, sl, live, U.slot_get(mcnt, sl) + cnt)
     return slo, shi, sqs, sqe, mvals, mcnt, ns
 
 
@@ -399,6 +398,8 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
     ehi = jnp.zeros(B, dtype=dt)
     eqs = jnp.zeros(B, dtype=dt)
     rows = jnp.arange(B)
+    qflat = qcodes.reshape(-1).astype(dt)  # row-major [B*L]: lane b col j at b*L+j
+    lane_base = (jnp.arange(B, dtype=dt) * L)
 
     lf = R.lf_step_auto(dx)
 
@@ -408,15 +409,15 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
                                    jnp.where(go, thi, 0))
         cnt = jnp.where(go, cnt, 0).astype(dt)
         slot = jnp.minimum(nrec, W - 1).astype(jnp.int32)
-        ws = ws.at[rows, slot].set(jnp.where(go, s_.astype(dt), ws[rows, slot]))
-        wc = wc.at[rows, slot].set(jnp.where(go, cnt, wc[rows, slot]))
+        ws = U.slot_set(ws, slot, go, s_.astype(dt))
+        wc = U.slot_set(wc, slot, go, cnt)
         return ws, wc, nrec + go.astype(dt)
 
     def body(_, st):
         lo, hi, plo, phi_, i, window_ei, done, ws, wc, nrec, elo, ehi, eqs = st
         active = (~done) & (i < m)
-        col = jnp.clip(L - 1 - i, 0, L - 1).astype(qcodes.dtype)
-        c = jnp.take_along_axis(qcodes, col[:, None], axis=1)[:, 0].astype(dt)
+        col = jnp.clip(L - 1 - i, 0, L - 1).astype(dt)
+        c = qflat[lane_base + col].astype(dt)
         nlo, nhi = lf(dx, lo, hi, c)
         fail = active & (nlo > nhi)
         ok = active & ~fail

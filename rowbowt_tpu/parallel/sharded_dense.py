@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rowbowt_tpu.construct.build import DENSE_BLOCK, FB_CKPT, FB_ROW
 from rowbowt_tpu.engine.markers import _append_right
 from rowbowt_tpu.index import RbtIndex
+from rowbowt_tpu.ops import update as U
 from rowbowt_tpu.ops.rank import _fb_rank_from_rows
 
 
@@ -343,8 +344,8 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
             s, e = both[: lo.shape[0]], both[lo.shape[0]:]
             cnt = jnp.where(do, jnp.maximum(e - s, 0), 0).astype(dt)
             slot = jnp.minimum(nw, W - 1).astype(jnp.int32)
-            ws = ws.at[rows, slot].set(jnp.where(do, s.astype(dt), ws[rows, slot]))
-            wc = wc.at[rows, slot].set(jnp.where(do, cnt, wc[rows, slot]))
+            ws = U.slot_set(ws, slot, do, s.astype(dt))
+            wc = U.slot_set(wc, slot, do, cnt)
             nw = nw + do.astype(dt)
             return ws, wc, nw
 

@@ -1,0 +1,91 @@
+"""Config-5 driver: STREAMED FASTQ over a SHARDED index on a (dp x idx) mesh.
+
+The 1000G deployment shape (BASELINE.md config 5): every host runs this same
+script; each host streams its own FASTQ shard (no cross-host input path), the
+index is position-sharded over the 'idx' axis (parallel/sharded_dense.py) and
+replicated over 'dp'; per-batch results gather to host 0 in read order (the
+rb_align ordering guarantee).
+
+Single-process it degenerates to one host's slice of the same program, so the
+whole path runs on the virtual CPU mesh (tests/test_cli.py) and on one real
+chip unchanged:
+
+    python scripts/sharded_stream.py IDX_PREFIX READS.fq \
+        [--n-idx 4] [--batch-size 4096] [-m] \
+        [--coordinator host0:1234 --num-processes N --process-id i]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("inpre")
+    p.add_argument("fastq", help="this host's FASTQ shard")
+    p.add_argument("--n-idx", type=int, default=1)
+    p.add_argument("-b", "--batch-size", type=int, default=4096)
+    p.add_argument("-m", "--markers", action="store_true")
+    p.add_argument("--wsize", type=int, default=10)
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from rowbowt_tpu.cli.common import iter_query_batches
+    from rowbowt_tpu.index import RbtIndex, marker_allele, marker_pos
+    from rowbowt_tpu.parallel import multihost as mh
+    from rowbowt_tpu.parallel.sharded_dense import (
+        ShardedDenseIndex,
+        find_ranges_sharded_dense,
+        find_ranges_w_markers_sharded_dense,
+    )
+
+    mh.init(args.coordinator, args.num_processes, args.process_id)
+    mesh = mh.global_mesh(n_idx=args.n_idx)
+    idx = RbtIndex.load(args.inpre, with_ma=args.markers)
+    sdx = ShardedDenseIndex.build(idx, n_idx=args.n_idx)
+    tables = sdx.device_put(mesh)
+    n_dp = mesh.shape["dp"]
+    out = sys.stdout
+
+    for names, qc, lens in iter_query_batches(idx, args.fastq, args.batch_size):
+        B = len(names)
+        pad = (-B) % n_dp
+        if pad:
+            qc = np.concatenate([qc, np.full((pad, qc.shape[1]), -1, qc.dtype)])
+            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+        gqc = mh.host_batch_to_global(mesh, qc.astype(np.int32))
+        glen = mh.host_batch_to_global(mesh, lens.astype(np.int32))
+        if args.markers:
+            lo, hi, buf, used, ovf = find_ranges_w_markers_sharded_dense(
+                mesh, sdx, tables, gqc, glen, wsize=args.wsize, max_k=32)
+            buf_h = mh.gather_to_host0(buf)
+            used_h = mh.gather_to_host0(used)
+        else:
+            lo, hi = find_ranges_sharded_dense(mesh, sdx, tables, gqc, glen)
+        lo_h = mh.gather_to_host0(lo)
+        hi_h = mh.gather_to_host0(hi)
+        if not mh.is_host0():
+            continue
+        for b, name in enumerate(names):
+            s, e = int(lo_h[b]), int(hi_h[b])
+            cnt = e - s + 1 if e >= s else 0
+            out.write(f"{name} ({s},{e}), count={cnt}\n")
+            if args.markers:
+                K = buf_h.shape[1]
+                got = [int(x) for x in buf_h[b, K - int(used_h[b]):]]
+                parts = ["\tmarkers: "] + [
+                    f"{int(marker_pos(np.int64(v)))}/"
+                    f"{int(marker_allele(np.int64(v)))} " for v in got]
+                out.write("".join(parts) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

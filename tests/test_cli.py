@@ -169,3 +169,20 @@ def test_build_fbb_rank_only(tmp_path, capsys):
 
     assert rbt_align.main(["-s", out, f"{REF}/simple_query.fq"]) == 1
     assert "locate is unavailable" in capsys.readouterr().err
+
+
+def test_sharded_stream_script(built_index, capsys):
+    """Config-5 driver (streamed FASTQ x sharded index on the virtual mesh)
+    prints the same count lines as rbt_align."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sharded_stream",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "sharded_stream.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main([built_index, f"{REF}/simple_query.fq", "--n-idx", "4"])
+    assert rc == 0
+    assert capsys.readouterr().out == GOLDEN_COUNTS
