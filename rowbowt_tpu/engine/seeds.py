@@ -220,25 +220,29 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     lane_base = (jnp.arange(B, dtype=dt) * L)
 
     lf = R.lf_step_auto(dx)
-
-    def ftab_probe(i):
-        """search_ftab over codes[m-i-1-k : m-i-1] == columns L-i-1-k + t."""
-        cols = (L - 1 - i - ftk)[:, None] + jnp.arange(ftk, dtype=dt)[None, :]
-        window = qflat[lane_base[:, None] + jnp.clip(cols, 0, L - 1)]
-        kc = R.kmer_codes(dx, window)
-        flo, fhi, hit = R.ftab_lookup(dx, kc)
-        return flo.astype(dt), fhi.astype(dt), hit
+    # ftab-restart REPLAY state: instead of re-gathering a [B, k] query window
+    # every step (10x the loop's gather traffic — 5.4x slower end to end on
+    # v5e), a restart-hit lane consumes the kmer's k chars one LF step at a
+    # time from the FULL range.  search_ftab's value is exactly find_range of
+    # those chars, and its miss->full-range quirk (rowbowt.hpp:757) is an
+    # empty range mid-replay -> hold FULL for the rest of the replay.  i
+    # advances 1/iteration either way, so L iterations still complete the
+    # batch and all recorded (i, seed_ei, window_ei) values match the jump
+    # formulation exactly.
+    rp = jnp.zeros(B, dtype=dt)  # chars left to replay (0 = normal)
+    rpmiss = jnp.zeros(B, dtype=bool)
 
     def body(_, st):
         (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
-         slo, shi, sqs, sqe, ns) = st
+         slo, shi, sqs, sqe, ns, rp, rpmiss) = st
         active = i < m
+        normal = active & (rp == 0)
         col = jnp.clip(L - 1 - i, 0, L - 1).astype(dt)
         c = qflat[lane_base + col].astype(dt)
         nlo, nhi = lf(dx, lo, hi, c)
 
-        ok = active & (nlo <= nhi)
-        fail = active & (nlo > nhi)
+        ok = normal & (nlo <= nhi)
+        fail = normal & (nlo > nhi)
 
         # --- success path: window probe (rowbowt.hpp:472-478)
         w_trigger = ok & (window_ei - (m - i - 1) >= wsize)
@@ -276,20 +280,29 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
         if ftk:
             # restart scan (rowbowt.hpp:454-464): search_ftab returns the FULL
             # range (not a failure) on a missing kmer (rowbowt.hpp:757), so the
-            # scan's hit check passes on the very first probe, always — one
-            # probe, i += k+1, prev = probe range (possibly full).  The scan's
-            # miss branch is dead code in the reference.
+            # scan's hit check passes on the very first probe, always —
+            # i += k+1, prev = probe range (possibly full).  The scan's miss
+            # branch is dead code in the reference.  Here the jump becomes a
+            # k-step replay from FULL range (see rp/rpmiss above).
             hit = fail & (m - i - 1 >= ftk)
+            to_full = fail & ~hit
             seed_ei = jnp.where(hit, m - i - 1, seed_ei)
             window_ei = jnp.where(hit, m - i - 1, window_ei)
-            pflo, pfhi, _ = ftab_probe(i)
-            to_full = fail & ~hit
-            lo = jnp.where(ok, nlo, jnp.where(hit, pflo, jnp.where(to_full, 0, lo)))
-            hi = jnp.where(ok, nhi,
-                           jnp.where(hit, pfhi, jnp.where(to_full, dx.n - 1, hi)))
-            plo = jnp.where(ok, nlo, jnp.where(hit, pflo, plo))
-            phi_ = jnp.where(ok, nhi, jnp.where(hit, pfhi, phi_))
-            i = jnp.where(active, jnp.where(hit, i + ftk + 1, i + 1), i)
+            rstep = active & (rp > 0)
+            held = rpmiss | (rstep & (nlo > nhi))  # miss: hold FULL hereafter
+            rlo = jnp.where(held, 0, nlo)
+            rhi = jnp.where(held, dx.n - 1, nhi)
+            lo = jnp.where(ok, nlo, jnp.where(
+                hit | to_full, 0, jnp.where(rstep, rlo, lo)))
+            hi = jnp.where(ok, nhi, jnp.where(
+                hit | to_full, dx.n - 1, jnp.where(rstep, rhi, hi)))
+            plo = jnp.where(ok, nlo, jnp.where(
+                hit, 0, jnp.where(rstep, rlo, plo)))
+            phi_ = jnp.where(ok, nhi, jnp.where(
+                hit, dx.n - 1, jnp.where(rstep, rhi, phi_)))
+            rpmiss = jnp.where(hit, False, held)
+            rp = jnp.where(hit, ftk, jnp.where(rstep, rp - 1, rp))
+            i = jnp.where(active, i + 1, i)
         else:
             lo = jnp.where(ok, nlo, jnp.where(fail, 0, lo))
             hi = jnp.where(ok, nhi, jnp.where(fail, dx.n - 1, hi))
@@ -297,12 +310,12 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
             phi_ = jnp.where(ok, nhi, phi_)
             i = jnp.where(active, i + 1, i)
         return (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
-                slo, shi, sqs, sqe, ns)
+                slo, shi, sqs, sqe, ns, rp, rpmiss)
 
     st = (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
-          slo, shi, sqs, sqe, ns)
+          slo, shi, sqs, sqe, ns, rp, rpmiss)
     (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
-     slo, shi, sqs, sqe, ns) = jax.lax.fori_loop(0, L, body, st)
+     slo, shi, sqs, sqe, ns, rp, rpmiss) = jax.lax.fori_loop(0, L, body, st)
 
     # final emission (rowbowt.hpp:477-481): fn(range, (m-i, seed_ei-1), mbuf)
     nonempty = hi >= lo
