@@ -20,25 +20,6 @@ from rowbowt_tpu.ops import rank as R
 from rowbowt_tpu.ops import update as U
 
 
-def _append_right(buf, used, vals, cnt):
-    """Place vals[:, :cnt] immediately left of the already-used tail of buf.
-
-    buf [B, K] (int64, -1 = empty), used [B], vals [B, W], cnt [B].
-    New chunk occupies slots [K-used-cnt, K-used).  Overflow clips the oldest
-    (rightmost) entries are kept -- the newest chunk always fits first.
-    """
-    B, K = buf.shape
-    slots = jnp.arange(K, dtype=used.dtype)[None, :]
-    start = K - used[:, None] - cnt[:, None]
-    src = slots - start  # index into vals for each buffer slot
-    take = (src >= 0) & (src < cnt[:, None]) & (slots < (K - used[:, None]))
-    W = vals.shape[1]
-    gathered = jnp.take_along_axis(vals, jnp.clip(src, 0, W - 1), axis=1)
-    buf = jnp.where(take, gathered, buf)
-    used = jnp.minimum(used + cnt, K)
-    return buf, used
-
-
 @partial(jax.jit, static_argnames=("wsize", "max_range", "max_k"))
 def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
                           max_range: int = 1 << 62, max_k: int = 32):
@@ -110,21 +91,12 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
     final = (~done) & (~too_short) & (hi >= lo) & ((m - 1) % wsize != 0)
     ws, wc, nw = record(lo, hi, final, ws, wc, nw)
 
-    # expansion: replay the original chronological append sequence
-    buf = jnp.full((B, max_k), -1, dtype=jnp.int64)
-    used = jnp.zeros(B, dtype=dt)
-    total = jnp.zeros(B, dtype=dt)
+    # expansion: per-slot entry ids computed arithmetically, then ONE value
+    # gather (the W-pass right-append replay did W [B, K] gathers)
     ma_val = dx.arrays["ma_val"]
     M = ma_val.shape[0]
-    offs = jnp.arange(max_k, dtype=dt)[None, :]
-    for w in range(W):
-        live = w < nw
-        s = ws[:, w]
-        cnt = jnp.where(live, wc[:, w], 0)
-        pos = jnp.minimum(s[:, None] + offs, M - 1)
-        vals = jnp.where(offs < cnt[:, None], ma_val[pos], -1)
-        buf, used = _append_right(buf, used, vals, jnp.minimum(cnt, max_k))
-        total = total + cnt
+    entry, valid, used, total = U.window_entry_ids(ws, wc, nw, max_k)
+    buf = jnp.where(valid, ma_val[jnp.clip(entry, 0, M - 1)], -1)
 
     # failed searches report the empty range
     one = jnp.ones((), dtype=dt)

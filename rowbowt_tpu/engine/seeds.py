@@ -337,8 +337,11 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     sqe = _scatter_rows(sqe, slot, rec, seed_ei - 1)
     ns = ns + emit.astype(dt)
 
-    # expansion: replay the chronological per-seed appends from the records
-    mvals = jnp.full((B, S, K), -1, dtype=jnp.int64)
+    # expansion: replay the chronological per-seed appends from the records,
+    # accumulating ENTRY IDS (pure VPU) — marker values resolve in ONE gather
+    # at the end instead of one [B, K] gather per window pass
+    eids = jnp.zeros((B, S, K), dtype=dt)
+    evalid = jnp.zeros((B, S, K), dtype=bool)
     used_s = jnp.zeros((B, S), dtype=dt)
     mcnt = jnp.zeros((B, S), dtype=dt)
     ma_val = dx.arrays["ma_val"]
@@ -352,10 +355,13 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
         src = slots - u[:, None]
         take = (src >= 0) & (src < jnp.minimum(cnt, K)[:, None]) & live[:, None]
         pos = jnp.minimum(ws[:, w][:, None] + jnp.clip(src, 0, K - 1), M - 1)
-        gathered = ma_val[pos]
-        mvals = U.slot_set_rows(mvals, sl, take, gathered)
+        eids = U.slot_set_rows(eids, sl, take, pos)
+        evalid = evalid | (
+            (jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == sl[:, None])[
+                :, :, None] & take[:, None, :])
         used_s = U.slot_set(used_s, sl, live, jnp.minimum(u + cnt, K))
         mcnt = U.slot_set(mcnt, sl, live, U.slot_get(mcnt, sl) + cnt)
+    mvals = jnp.where(evalid, ma_val[jnp.clip(eids, 0, M - 1)], -1)
     return slo, shi, sqs, sqe, mvals, mcnt, ns
 
 

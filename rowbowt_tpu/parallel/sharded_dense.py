@@ -38,7 +38,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rowbowt_tpu.construct.build import DENSE_BLOCK, FB_CKPT, FB_ROW
-from rowbowt_tpu.engine.markers import _append_right
 from rowbowt_tpu.index import RbtIndex
 from rowbowt_tpu.ops import update as U
 from rowbowt_tpu.ops.rank import _fb_rank_from_rows
@@ -378,27 +377,18 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
         final = (~done) & (~too_short) & (hi >= lo) & ((m - 1) % wsize != 0)
         ws, wc, nw = record(lo, hi, final, ws, wc, nw)
 
-        # value expansion against the entry-sharded mv2
+        # value expansion against the entry-sharded mv2: per-slot entry ids
+        # computed arithmetically, then ONE owner-pick psum (was W of them)
         mv_loc = tb["mv2"][0] if tb["mv2"].ndim == 2 else tb["mv2"]
         goff = tb["goff"]
         e0 = goff[my]
         stored = goff[my + 1] - e0
-        buf = jnp.full((Bl, max_k), -1, dtype=jnp.int64)
-        used = zero
-        total = zero
-        offs = jnp.arange(max_k, dtype=dt)[None, :]
-        for w in range(W):
-            live = w < nw
-            s = ws[:, w]
-            cnt = jnp.where(live, wc[:, w], 0)
-            g = s[:, None].astype(jnp.int64) + offs.astype(jnp.int64)
-            lg = g - e0
-            owner = (lg >= 0) & (lg < stored) & (offs < cnt[:, None])
-            v = mv_loc[jnp.clip(lg, 0, mv_loc.shape[0] - 1)]
-            vals = jax.lax.psum(jnp.where(owner, v, 0), "idx")
-            vals = jnp.where(offs < cnt[:, None], vals, -1)
-            buf, used = _append_right(buf, used, vals, jnp.minimum(cnt, max_k))
-            total = total + cnt
+        entry, valid, used, total = U.window_entry_ids(ws, wc, nw, max_k)
+        lg = entry.astype(jnp.int64) - e0
+        owner = (lg >= 0) & (lg < stored) & valid
+        v = mv_loc[jnp.clip(lg, 0, mv_loc.shape[0] - 1)]
+        vals = jax.lax.psum(jnp.where(owner, v, 0), "idx")
+        buf = jnp.where(valid, vals, -1)
         one = jnp.ones((), dt)
         z = jnp.zeros((), dt)
         lo = jnp.where(done | too_short, one, lo)
