@@ -177,17 +177,22 @@ def build_tk1_from_runs(codes, run_start, samples_last, A: int, dtype):
     return tk1
 
 
-def build_phi1(pred_pos, pred_to_run, samples_last, n: int, dtype):
+def build_phi1(pred_pos, pred_to_run, samples_last, n: int, dtype,
+               chunk: int = 1 << 24):
     """Dense phi table: phi1[i] = ToeholdSA::phi(i) (toehold_sa.hpp:56-72)
     precomputed for every text position — the phi walk becomes one gather per
-    located occurrence."""
-    i = np.arange(n, dtype=np.int64)
-    rk = np.searchsorted(pred_pos, i, side="left")
-    jr = np.where(rk == 0, pred_pos.shape[0] - 1, rk - 1)
-    j = pred_pos[jr]
-    delta = np.where(j < i, i - j, i + 1)
-    prev_sample = samples_last[pred_to_run[jr] - 1]
-    return ((prev_sample + delta) % n).astype(dtype)
+    located occurrence.  Chunked: peak temporaries are O(chunk), not O(n)
+    (5 int64 n-arrays was the biggest RSS spike of a chr-scale build)."""
+    out = np.empty(n, dtype=dtype)
+    for lo in range(0, n, chunk):
+        i = np.arange(lo, min(lo + chunk, n), dtype=np.int64)
+        rk = np.searchsorted(pred_pos, i, side="left")
+        jr = np.where(rk == 0, pred_pos.shape[0] - 1, rk - 1)
+        j = pred_pos[jr]
+        delta = np.where(j < i, i - j, i + 1)
+        prev_sample = samples_last[pred_to_run[jr] - 1]
+        out[lo: lo + i.shape[0]] = (prev_sample + delta) % n
+    return out
 
 
 def build_index(
@@ -230,15 +235,20 @@ def build_index(
         # (i.e. the variant lies within the first w characters of the suffix).
         isa = np.empty(n, dtype=np.int64)
         isa[sa] = np.arange(n, dtype=np.int64)
-        rows_list = []
-        vals_list = []
-        for m in markers:
-            lo = max(0, m.text_pos - ma_wsize + 1)
-            ps = np.arange(lo, m.text_pos + 1, dtype=np.int64)
-            rows_list.append(isa[ps])
-            vals_list.append(np.full(ps.shape[0], pack_marker(m.seq, m.pos, m.allele), dtype=np.int64))
-        ma_row = np.concatenate(rows_list)
-        ma_val = np.concatenate(vals_list)
+        # vectorized over all markers at once (a python loop here dominated
+        # chr-scale builds): marker j covers text positions
+        # [max(0, t_j-w+1), t_j], expanded with a flat repeat
+        tpos = np.fromiter((m.text_pos for m in markers), np.int64, len(markers))
+        packed = np.fromiter(
+            (pack_marker(m.seq, m.pos, m.allele) for m in markers),
+            np.int64, len(markers))
+        lo_p = np.maximum(tpos - ma_wsize + 1, 0)
+        span = tpos - lo_p + 1
+        off = np.repeat(np.cumsum(span) - span, span)
+        flat = np.arange(off.shape[0], dtype=np.int64) - off
+        ps = np.repeat(lo_p, span) + flat
+        ma_row = isa[ps]
+        ma_val = np.repeat(packed, span)
         srt = np.lexsort((ma_val, ma_row))
         ma_row = ma_row[srt]
         ma_val = ma_val[srt]
@@ -248,10 +258,13 @@ def build_index(
     if ma_row is not None and dense and n < (1 << 31):
         # dense row -> marker-offset table: ma_start1[i] = #markers in rows
         # [0, i) — markers_at_range becomes two gathers instead of two
-        # binary searches
-        ma_start1 = np.searchsorted(
-            ma_row, np.arange(n + 1, dtype=np.int64), side="left"
-        ).astype(np.int32 if ma_row.shape[0] < (1 << 31) else np.int64)
+        # binary searches.  bincount+cumsum is O(M + n) with one n-temporary
+        # (the searchsorted formulation was O(n log M) with int64 output)
+        mdt = np.int32 if ma_row.shape[0] < (1 << 31) else np.int64
+        cnt_per_row = np.bincount(ma_row, minlength=n).astype(mdt)
+        ma_start1 = np.zeros(n + 1, dtype=mdt)
+        np.cumsum(cnt_per_row, out=ma_start1[1:])
+        del cnt_per_row
 
     bwt4 = occ_blk = kval = phi1 = fblock = None
     if dense and A <= 16:

@@ -175,11 +175,12 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     done = jnp.zeros(B, dtype=bool)
     failed = jnp.zeros(B, dtype=bool)
     window_ei = m
-    clo = jnp.full((B, C), 1, dtype=dt)
-    chi = jnp.zeros((B, C), dtype=dt)
-    ck = jnp.zeros((B, C), dtype=dt)
-    cqs = jnp.zeros((B, C), dtype=dt)
-    cqe = jnp.zeros((B, C), dtype=dt)
+    # transposed [C, B]: loop-carried record tables aren't lane-padded
+    clo = jnp.full((C, B), 1, dtype=dt)
+    chi = jnp.zeros((C, B), dtype=dt)
+    ck = jnp.zeros((C, B), dtype=dt)
+    cqs = jnp.zeros((C, B), dtype=dt)
+    cqe = jnp.zeros((C, B), dtype=dt)
     ncp = jnp.zeros(B, dtype=dt)
     defer_k = "kval" in dx.arrays  # per-checkpoint k = kval[chi] after the loop
     if defer_k:
@@ -192,11 +193,10 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
         step = R.lf_step_w_loc_occ1
     else:
         step = R.lf_step_w_loc
-    rows = jnp.arange(B)
 
     def put(arr, slot, mask, val):
-        # one-hot select, not a scatter (TPU serializes scatters; ops/update.py)
-        return U.slot_set(arr, slot, mask, val)
+        # one-hot select on the transposed layout (ops/update.py)
+        return U.tslot_set(arr, slot, mask, val)
 
     def body(j, st):
         lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp = st
@@ -239,7 +239,7 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     ncp = jnp.where(failed, 0, ncp)
     if defer_k:
         ck = R.toehold_from_range(dx, clo, chi)
-    return clo, chi, ck, cqs, cqe, ncp
+    return clo.T, chi.T, ck.T, cqs.T, cqe.T, ncp
 
 
 @partial(jax.jit, static_argnames=("max_hits",))

@@ -48,10 +48,10 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
     too_short = m < wsize
     done = too_short
     window_ei = m
-    ws = jnp.zeros((B, W), dtype=dt)
-    wc = jnp.zeros((B, W), dtype=dt)
+    # transposed [W, B] records: not lane-padded inside the loop carry
+    ws = jnp.zeros((W, B), dtype=dt)
+    wc = jnp.zeros((W, B), dtype=dt)
     nw = jnp.zeros(B, dtype=dt)
-    rows = jnp.arange(B)
     lf = R.lf_step_auto(dx)
 
     def record(lo, hi, gate, ws, wc, nw):
@@ -60,8 +60,8 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
         s, cnt = R.markers_bounds(dx, jnp.where(do, lo, 1), jnp.where(do, hi, 0))
         cnt = jnp.where(do, cnt, 0).astype(dt)
         slot = jnp.minimum(nw, W - 1).astype(jnp.int32)
-        ws = U.slot_set(ws, slot, do, s.astype(dt))
-        wc = U.slot_set(wc, slot, do, cnt)
+        ws = U.tslot_set(ws, slot, do, s.astype(dt))
+        wc = U.tslot_set(wc, slot, do, cnt)
         nw = nw + do.astype(dt)
         return ws, wc, nw
 
@@ -95,7 +95,7 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
     # gather (the W-pass right-append replay did W [B, K] gathers)
     ma_val = dx.arrays["ma_val"]
     M = ma_val.shape[0]
-    entry, valid, used, total = U.window_entry_ids(ws, wc, nw, max_k)
+    entry, valid, used, total = U.window_entry_ids(ws.T, wc.T, nw, max_k)
     buf = jnp.where(valid, ma_val[jnp.clip(entry, 0, M - 1)], -1)
 
     # failed searches report the empty range

@@ -31,14 +31,6 @@ from rowbowt_tpu.ops import rank as R
 from rowbowt_tpu.ops import update as U
 
 
-def _scatter_rows(arr, slot, mask, val):
-    """arr[b, slot[b]] = val[b] where mask[b]; one-hot select, not a scatter
-    (TPU serializes scatters; ops/update.py)."""
-    from rowbowt_tpu.ops.update import slot_set
-
-    return slot_set(arr, slot, mask, val)
-
-
 @partial(jax.jit, static_argnames=("min_length", "max_seeds"))
 def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
                           max_seeds: int = 8):
@@ -60,11 +52,12 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
     k = jnp.full(B, first_k, dtype=dt)
     pk = jnp.full(B, -1, dtype=dt)
     ei = m
-    slo = jnp.full((B, S), 1, dtype=dt)
-    shi = jnp.zeros((B, S), dtype=dt)
-    sqs = jnp.zeros((B, S), dtype=dt)
-    sqe = jnp.zeros((B, S), dtype=dt)
-    ssamp = jnp.zeros((B, S), dtype=dt)
+    # transposed [S, B] so the loop-carried tables aren't lane-padded
+    slo = jnp.full((S, B), 1, dtype=dt)
+    shi = jnp.zeros((S, B), dtype=dt)
+    sqs = jnp.zeros((S, B), dtype=dt)
+    sqe = jnp.zeros((S, B), dtype=dt)
+    ssamp = jnp.zeros((S, B), dtype=dt)
     ns = jnp.zeros(B, dtype=dt)
     defer_k = "kval" in dx.arrays  # ssamp == SA[recorded hi]: one gather at the end
     if defer_k:
@@ -89,11 +82,11 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
         emit = fail & (ei - (m - j) >= min_length)
         rec = emit & (ns < S)
         slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
-        slo = _scatter_rows(slo, slot, rec, plo)
-        shi = _scatter_rows(shi, slot, rec, phi_)
-        sqs = _scatter_rows(sqs, slot, rec, m - j)
-        sqe = _scatter_rows(sqe, slot, rec, ei)
-        ssamp = _scatter_rows(ssamp, slot, rec, pk)
+        slo = U.tslot_set(slo, slot, rec, plo)
+        shi = U.tslot_set(shi, slot, rec, phi_)
+        sqs = U.tslot_set(sqs, slot, rec, m - j)
+        sqe = U.tslot_set(sqe, slot, rec, ei)
+        ssamp = U.tslot_set(ssamp, slot, rec, pk)
         ns = ns + emit.astype(dt)
         # state update
         lo = jnp.where(ok, nlo, jnp.where(fail, 0, lo))
@@ -113,12 +106,13 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
     emit = ei >= min_length
     rec = emit & (ns < S)
     slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
-    slo = _scatter_rows(slo, slot, rec, plo)
-    shi = _scatter_rows(shi, slot, rec, phi_)
-    sqs = _scatter_rows(sqs, slot, rec, jnp.zeros_like(ei))
-    sqe = _scatter_rows(sqe, slot, rec, ei)
-    ssamp = _scatter_rows(ssamp, slot, rec, pk)
+    slo = U.tslot_set(slo, slot, rec, plo)
+    shi = U.tslot_set(shi, slot, rec, phi_)
+    sqs = U.tslot_set(sqs, slot, rec, jnp.zeros_like(ei))
+    sqe = U.tslot_set(sqe, slot, rec, ei)
+    ssamp = U.tslot_set(ssamp, slot, rec, pk)
     ns = ns + emit.astype(dt)
+    slo, shi, sqs, sqe, ssamp = slo.T, shi.T, sqs.T, sqe.T, ssamp.T
     if defer_k:
         # toehold invariant: the sample of every recorded (slo, shi) is
         # SA[shi] — resolved in one [B, S] kval gather instead of per-step
@@ -205,17 +199,19 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     window_ei = m
 
     # window records: marker offset/count + owning seed slot; values expand
-    # after the loop (the in-loop cost is 2 gathers + 3 scalar scatters)
-    ws = jnp.zeros((B, W), dtype=dt)
-    wc = jnp.zeros((B, W), dtype=dt)
-    wseed = jnp.zeros((B, W), dtype=dt)
+    # after the loop.  All record tables are TRANSPOSED ([W, B] / [S, B]):
+    # the batch rides the 128-lane minor dim, so loop-carrying them costs
+    # their true size (a [B, W] layout pads W up to 128 lanes — the padding
+    # traffic dominated this loop before; tools/greedy ablation + ops/update)
+    ws = jnp.zeros((W, B), dtype=dt)
+    wc = jnp.zeros((W, B), dtype=dt)
+    wseed = jnp.zeros((W, B), dtype=dt)
     nrec = jnp.zeros(B, dtype=dt)
-    slo = jnp.full((B, S), 1, dtype=dt)
-    shi = jnp.zeros((B, S), dtype=dt)
-    sqs = jnp.zeros((B, S), dtype=dt)
-    sqe = jnp.zeros((B, S), dtype=dt)
+    slo = jnp.full((S, B), 1, dtype=dt)
+    shi = jnp.zeros((S, B), dtype=dt)
+    sqs = jnp.zeros((S, B), dtype=dt)
+    sqe = jnp.zeros((S, B), dtype=dt)
     ns = jnp.zeros(B, dtype=dt)
-    rows = jnp.arange(B)
     qflat = qcodes.reshape(-1).astype(dt)  # row-major [B*L]: lane b col j at b*L+j
     lane_base = (jnp.arange(B, dtype=dt) * L)
 
@@ -257,19 +253,19 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
                                    jnp.where(go, thi, 0))
         cnt = jnp.where(go, cnt, 0).astype(dt)
         slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
-        ws = U.slot_set(ws, slot_r, go, s_.astype(dt))
-        wc = U.slot_set(wc, slot_r, go, cnt)
-        wseed = U.slot_set(wseed, slot_r, go, ns)
+        ws = U.tslot_set(ws, slot_r, go, s_.astype(dt))
+        wc = U.tslot_set(wc, slot_r, go, cnt)
+        wseed = U.tslot_set(wseed, slot_r, go, ns)
         nrec = nrec + go.astype(dt)
         window_ei = jnp.where(w_trigger, m - i - 1, window_ei)
 
         # --- failure: emit seed (prev, (m-i, seed_ei-1))
         rec = fail & (ns < S)
         slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
-        slo = _scatter_rows(slo, slot, rec, plo)
-        shi = _scatter_rows(shi, slot, rec, phi_)
-        sqs = _scatter_rows(sqs, slot, rec, m - i)
-        sqe = _scatter_rows(sqe, slot, rec, seed_ei - 1)
+        slo = U.tslot_set(slo, slot, rec, plo)
+        shi = U.tslot_set(shi, slot, rec, phi_)
+        sqs = U.tslot_set(sqs, slot, rec, m - i)
+        sqe = U.tslot_set(sqe, slot, rec, seed_ei - 1)
         ns = ns + fail.astype(dt)
         # post-failure reset (rowbowt.hpp:450-453)
         plo = jnp.where(fail, 0, plo)
@@ -324,45 +320,47 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     s_, cnt = R.markers_bounds(dx, jnp.where(go, lo, 1), jnp.where(go, hi, 0))
     cnt = jnp.where(go, cnt, 0).astype(dt)
     slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
-    ws = U.slot_set(ws, slot_r, go, s_.astype(dt))
-    wc = U.slot_set(wc, slot_r, go, cnt)
-    wseed = U.slot_set(wseed, slot_r, go, ns)
+    ws = U.tslot_set(ws, slot_r, go, s_.astype(dt))
+    wc = U.tslot_set(wc, slot_r, go, cnt)
+    wseed = U.tslot_set(wseed, slot_r, go, ns)
     nrec = nrec + go.astype(dt)
     emit = m > 0
     rec = emit & (ns < S)
     slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
-    slo = _scatter_rows(slo, slot, rec, lo)
-    shi = _scatter_rows(shi, slot, rec, hi)
-    sqs = _scatter_rows(sqs, slot, rec, m - i)
-    sqe = _scatter_rows(sqe, slot, rec, seed_ei - 1)
+    slo = U.tslot_set(slo, slot, rec, lo)
+    shi = U.tslot_set(shi, slot, rec, hi)
+    sqs = U.tslot_set(sqs, slot, rec, m - i)
+    sqe = U.tslot_set(sqe, slot, rec, seed_ei - 1)
     ns = ns + emit.astype(dt)
 
     # expansion: replay the chronological per-seed appends from the records,
-    # accumulating ENTRY IDS (pure VPU) — marker values resolve in ONE gather
-    # at the end instead of one [B, K] gather per window pass
-    eids = jnp.zeros((B, S, K), dtype=dt)
-    evalid = jnp.zeros((B, S, K), dtype=bool)
-    used_s = jnp.zeros((B, S), dtype=dt)
-    mcnt = jnp.zeros((B, S), dtype=dt)
+    # accumulating ENTRY IDS (pure VPU, flat [S*K, B] layout so nothing is
+    # lane-padded) — marker values resolve in ONE gather at the end
+    eflat = jnp.zeros((S * K, B), dtype=dt)
+    evalid = jnp.zeros((S * K, B), dtype=bool)
+    used_s = jnp.zeros((S, B), dtype=dt)
+    mcnt = jnp.zeros((S, B), dtype=dt)
     ma_val = dx.arrays["ma_val"]
     M = ma_val.shape[0]
-    slots = jnp.arange(K, dtype=dt)[None, :]
+    col_s = (jnp.arange(S * K, dtype=dt) // K)[:, None]  # seed slot per row
+    col_k = (jnp.arange(S * K, dtype=dt) % K)[:, None]  # in-seed position
     for w in range(W):
-        live = (w < nrec) & (wseed[:, w] < S)
-        sl = jnp.clip(wseed[:, w], 0, S - 1).astype(jnp.int32)
-        cnt = jnp.where(live, wc[:, w], 0)
-        u = U.slot_get(used_s, sl)
-        src = slots - u[:, None]
-        take = (src >= 0) & (src < jnp.minimum(cnt, K)[:, None]) & live[:, None]
-        pos = jnp.minimum(ws[:, w][:, None] + jnp.clip(src, 0, K - 1), M - 1)
-        eids = U.slot_set_rows(eids, sl, take, pos)
-        evalid = evalid | (
-            (jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == sl[:, None])[
-                :, :, None] & take[:, None, :])
-        used_s = U.slot_set(used_s, sl, live, jnp.minimum(u + cnt, K))
-        mcnt = U.slot_set(mcnt, sl, live, U.slot_get(mcnt, sl) + cnt)
-    mvals = jnp.where(evalid, ma_val[jnp.clip(eids, 0, M - 1)], -1)
-    return slo, shi, sqs, sqe, mvals, mcnt, ns
+        live = (w < nrec) & (wseed[w] < S)
+        sl = jnp.clip(wseed[w], 0, S - 1).astype(jnp.int32)
+        cnt = jnp.where(live, wc[w], 0)
+        u = U.tslot_get(used_s, sl)
+        src = col_k - u[None, :]
+        take = ((src >= 0) & (src < jnp.minimum(cnt, K)[None, :])
+                & live[None, :] & (col_s == sl[None, :].astype(dt)))
+        pos = jnp.minimum(ws[w][None, :] + jnp.clip(src, 0, K - 1), M - 1)
+        eflat = jnp.where(take, pos, eflat)
+        evalid = evalid | take
+        used_s = U.tslot_set(used_s, sl, live, jnp.minimum(u + cnt, K))
+        mcnt = U.tslot_set(mcnt, sl, live, U.tslot_get(mcnt, sl) + cnt)
+    mvals = jnp.where(evalid, ma_val[jnp.clip(eflat, 0, M - 1)], -1)
+    # back to the public [B, S] / [B, S, K] layout (one transpose each)
+    mvals = mvals.reshape(S, K, B).transpose(2, 0, 1)
+    return (slo.T, shi.T, sqs.T, sqe.T, mvals, mcnt.T, ns)
 
 
 @partial(jax.jit, static_argnames=("wsize", "max_range", "max_k"))
@@ -410,13 +408,12 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
     window_ei = m
     done = jnp.zeros(B, dtype=bool)
     W = L // max(wsize, 1) + 2
-    ws = jnp.zeros((B, W), dtype=dt)
-    wc = jnp.zeros((B, W), dtype=dt)
+    ws = jnp.zeros((W, B), dtype=dt)  # transposed: not lane-padded in the carry
+    wc = jnp.zeros((W, B), dtype=dt)
     nrec = jnp.zeros(B, dtype=dt)
     elo = jnp.full(B, 1, dtype=dt)
     ehi = jnp.zeros(B, dtype=dt)
     eqs = jnp.zeros(B, dtype=dt)
-    rows = jnp.arange(B)
     qflat = qcodes.reshape(-1).astype(dt)  # row-major [B*L]: lane b col j at b*L+j
     lane_base = (jnp.arange(B, dtype=dt) * L)
 
@@ -428,8 +425,8 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
                                    jnp.where(go, thi, 0))
         cnt = jnp.where(go, cnt, 0).astype(dt)
         slot = jnp.minimum(nrec, W - 1).astype(jnp.int32)
-        ws = U.slot_set(ws, slot, go, s_.astype(dt))
-        wc = U.slot_set(wc, slot, go, cnt)
+        ws = U.tslot_set(ws, slot, go, s_.astype(dt))
+        wc = U.tslot_set(wc, slot, go, cnt)
         return ws, wc, nrec + go.astype(dt)
 
     def body(_, st):
@@ -467,23 +464,26 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
     ehi = jnp.where(fin, hi, ehi)
     eqs = jnp.where(fin, m - i, eqs)
 
-    # expansion: replay the chronological appends
-    cbuf = jnp.full((B, K), -1, dtype=jnp.int64)
+    # expansion: replay the chronological appends on [K, B] entry ids (no
+    # lane padding, no per-pass value gathers), one ma_val gather at the end
+    eb = jnp.zeros((K, B), dtype=dt)
+    ev = jnp.zeros((K, B), dtype=bool)
     cused = jnp.zeros(B, dtype=dt)
     ctot = jnp.zeros(B, dtype=dt)
     ma_val = dx.arrays["ma_val"]
     M = ma_val.shape[0]
-    slots = jnp.arange(K, dtype=dt)[None, :]
+    col_k = jnp.arange(K, dtype=dt)[:, None]
     for w in range(W):
         live = w < nrec
-        cnt = jnp.where(live, wc[:, w], 0)
-        u = cused
-        src = slots - u[:, None]
-        take = (src >= 0) & (src < jnp.minimum(cnt, K)[:, None]) & live[:, None]
-        pos = jnp.minimum(ws[:, w][:, None] + jnp.clip(src, 0, K - 1), M - 1)
-        cbuf = jnp.where(take, ma_val[pos], cbuf)
-        cused = jnp.where(live, jnp.minimum(u + cnt, K), u)
+        cnt = jnp.where(live, wc[w], 0)
+        src = col_k - cused[None, :]
+        take = (src >= 0) & (src < jnp.minimum(cnt, K)[None, :]) & live[None, :]
+        pos = jnp.minimum(ws[w][None, :] + jnp.clip(src, 0, K - 1), M - 1)
+        eb = jnp.where(take, pos, eb)
+        ev = ev | take
+        cused = jnp.where(live, jnp.minimum(cused + cnt, K), cused)
         ctot = ctot + cnt
+    cbuf = jnp.where(ev, ma_val[jnp.clip(eb, 0, M - 1)], -1).T
     return elo, ehi, eqs, cbuf, ctot
 
 

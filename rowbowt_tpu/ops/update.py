@@ -32,6 +32,26 @@ def slot_get(arr, slot):
     return jnp.sum(jnp.where(onehot, arr, 0), axis=1)
 
 
+def tslot_set(arr, slot, mask, val):
+    """arr[slot[b], b] = val[b] where mask[b] — the TRANSPOSED layout.
+
+    arr [W, B]: the batch rides the 128-lane minor dim, so nothing is padded
+    (a [B, W] layout pads W up to 128 lanes — 5-16x physical blowup that
+    dominates loop-carried record arrays)."""
+    onehot = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0) == (
+        slot[None, :].astype(jnp.int32))
+    v = jnp.asarray(val, dtype=arr.dtype)
+    v = v[None, :] if v.ndim else v
+    return jnp.where(onehot & mask[None, :], v, arr)
+
+
+def tslot_get(arr, slot):
+    """arr[slot[b], b] via one-hot dot; arr [W, B]."""
+    onehot = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0) == (
+        slot[None, :].astype(jnp.int32))
+    return jnp.sum(jnp.where(onehot, arr, 0), axis=0)
+
+
 def window_entry_ids(ws, wc, nrec, max_k: int):
     """Vectorized replacement for the W-pass right-append expansion.
 

@@ -329,11 +329,11 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
         too_short = m < wsize
         done = too_short
         window_ei = m
-        # derive from a lane value so the carries are dp-varying from iter 0
-        ws = jnp.zeros((Bl, W), dtype=dt) + zero[:, None]
-        wc = jnp.zeros((Bl, W), dtype=dt) + zero[:, None]
+        # transposed [W, B] (not lane-padded); derived from a lane value so
+        # the carries are dp-varying from iteration 0
+        ws = jnp.zeros((W, Bl), dtype=dt) + zero[None, :]
+        wc = jnp.zeros((W, Bl), dtype=dt) + zero[None, :]
         nw = zero
-        rows = jnp.arange(Bl)
 
         def record(lo, hi, gate, ws, wc, nw):
             small = (hi - lo + 1) <= mr
@@ -343,8 +343,8 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
             s, e = both[: lo.shape[0]], both[lo.shape[0]:]
             cnt = jnp.where(do, jnp.maximum(e - s, 0), 0).astype(dt)
             slot = jnp.minimum(nw, W - 1).astype(jnp.int32)
-            ws = U.slot_set(ws, slot, do, s.astype(dt))
-            wc = U.slot_set(wc, slot, do, cnt)
+            ws = U.tslot_set(ws, slot, do, s.astype(dt))
+            wc = U.tslot_set(wc, slot, do, cnt)
             nw = nw + do.astype(dt)
             return ws, wc, nw
 
@@ -383,7 +383,7 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
         goff = tb["goff"]
         e0 = goff[my]
         stored = goff[my + 1] - e0
-        entry, valid, used, total = U.window_entry_ids(ws, wc, nw, max_k)
+        entry, valid, used, total = U.window_entry_ids(ws.T, wc.T, nw, max_k)
         lg = entry.astype(jnp.int64) - e0
         owner = (lg >= 0) & (lg < stored) & valid
         v = mv_loc[jnp.clip(lg, 0, mv_loc.shape[0] - 1)]
