@@ -129,13 +129,18 @@ def _run_greedy(args, idx, dx, S, K, filter_and_print):
     for names, qc, lens in iter_query_batches(
         idx, args.fastq, args.batch_size, normalize=True, with_rc=True
     ):
-        slo, shi, sqs, sqe, mvals, mcnt, ns = map(
+        slo, shi, sqs, sqe, mids, mcnt, ns = map(
             np.asarray,
             markers_greedy_seeding(
                 dx, qc, lens, wsize=args.wsize, max_range=args.max_range,
-                max_seeds=S, max_k=K, use_ftab=args.ftab,
+                max_seeds=S, max_k=K, use_ftab=args.ftab, values=False,
             ),
         )
+        # resolve marker values on host: skips the kernel's biggest gather
+        # (DESIGN.md cost anatomy) and halves the device->host transfer
+        mvals = np.where(
+            mids >= 0,
+            idx.ma_val[np.clip(mids, 0, idx.ma_val.shape[0] - 1)], -1)
         for ri, name in enumerate(names):
             rl = int(lens[2 * ri])
             per_strand = []

@@ -153,10 +153,11 @@ def locate_from_longest_seed(dx: DeviceIndex, slo, shi, sqs, sqe, ssamp, ns,
 
 
 @partial(jax.jit, static_argnames=("wsize", "max_range", "max_seeds", "max_k",
-                                   "use_ftab"))
+                                   "use_ftab", "values"))
 def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
                            max_range: int = 1 << 62, max_seeds: int = 8,
-                           max_k: int = 16, use_ftab: bool = True):
+                           max_k: int = 16, use_ftab: bool = True,
+                           values: bool = True):
     """Batched RowBowt::get_markers_greedy_seeding (rowbowt.hpp:406-482).
 
     Per lane, seeds are emitted exactly at the reference's fn() callsites
@@ -167,7 +168,9 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
       sqs, sqe   [B, S]    fn's (m-i, seed_ei-1) pair — qend INCLUSIVE, may
                            wrap below qstart for degenerate tail seeds
       mvals      [B, S, K] packed markers per seed, chronological append order
-                           (pre sort/unique — apply engine.filters on host)
+                           (pre sort/unique — apply engine.filters on host);
+                           with values=False these are ma_val ENTRY IDS
+                           (resolve on host: ma_val[ids], -1 = empty)
       mcnt       [B, S]    true marker count (> K means truncation)
       nseeds     [B]       true seed count (> S means truncation)
     """
@@ -357,7 +360,13 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
         evalid = evalid | take
         used_s = U.tslot_set(used_s, sl, live, jnp.minimum(u + cnt, K))
         mcnt = U.tslot_set(mcnt, sl, live, U.tslot_get(mcnt, sl) + cnt)
-    mvals = jnp.where(evalid, ma_val[jnp.clip(eflat, 0, M - 1)], -1)
+    if values:
+        mvals = jnp.where(evalid, ma_val[jnp.clip(eflat, 0, M - 1)], -1)
+    else:
+        # values=False: return ENTRY IDS (-1 = empty) and let the caller
+        # resolve against ma_val on host — skips the [S*K, B] device gather,
+        # the biggest single cost of this kernel (DESIGN.md cost anatomy)
+        mvals = jnp.where(evalid, eflat, -1)
     # back to the public [B, S] / [B, S, K] layout (one transpose each)
     mvals = mvals.reshape(S, K, B).transpose(2, 0, 1)
     return (slo.T, shi.T, sqs.T, sqe.T, mvals, mcnt.T, ns)
