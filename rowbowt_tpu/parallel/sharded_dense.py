@@ -67,6 +67,33 @@ class ShardedDenseIndex:
         return self.per_blk * DENSE_BLOCK
 
     @staticmethod
+    def fb3_from_codes(codes: np.ndarray, A: int, n_idx: int):
+        """(fb3, base) straight from BWT codes — the n >= 2^31 path: no global
+        int32 fblock is ever materialized; each shard's checkpoints are local
+        (int32 by construction) and `base` carries the int64 global offsets."""
+        from rowbowt_tpu.construct.build import build_fblock
+
+        n = codes.shape[0]
+        nb = (n + DENSE_BLOCK - 1) // DENSE_BLOCK
+        per_blk = (nb + n_idx - 1) // n_idx
+        fb3 = np.zeros((n_idx, per_blk, FB_ROW), dtype=np.int32)
+        fb3[:, :, FB_CKPT:] = -1  # pad nibble 15 matches no code
+        base = np.zeros((n_idx, FB_CKPT), dtype=np.int64)
+        run = np.zeros(FB_CKPT, dtype=np.int64)
+        for s in range(n_idx):
+            base[s] = run
+            p0 = s * per_blk * DENSE_BLOCK
+            p1 = min(p0 + per_blk * DENSE_BLOCK, n)
+            if p1 <= p0:
+                continue
+            chunk = codes[p0:p1]
+            # per-shard fblock with LOCAL checkpoints (chunk length < 2^31)
+            fb_s = build_fblock(chunk, A)
+            fb3[s, : fb_s.shape[0]] = fb_s
+            run = run + np.bincount(chunk, minlength=FB_CKPT)[:FB_CKPT]
+        return fb3, base, per_blk
+
+    @staticmethod
     def build(idx: RbtIndex, n_idx: int) -> "ShardedDenseIndex":
         if idx.fblock is None:
             raise ValueError("ShardedDenseIndex needs an fblock build")
@@ -85,8 +112,8 @@ class ShardedDenseIndex:
                 fb3[s, : b1 - b0] = fb[b0:b1]
                 base[s] = fb[b0, :FB_CKPT]
                 fb3[s, : b1 - b0, :FB_CKPT] -= fb[b0, :FB_CKPT]
-            else:  # shard owns nothing
-                base[s] = fb[nb - 1, :FB_CKPT]
+            else:  # shard owns nothing: count before n == total per-char count
+                base[s, : idx.A] = np.diff(idx.F.astype(np.int64))
 
         per_pos = per_blk * DENSE_BLOCK
         kval2 = phi2 = ms2 = mv2 = goff = None

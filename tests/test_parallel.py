@@ -180,3 +180,19 @@ def test_sharded_dense_markers(rand_index):
     np.testing.assert_array_equal(np.asarray(used), np.asarray(rused))
     np.testing.assert_array_equal(np.asarray(buf), np.asarray(rbuf))
     np.testing.assert_array_equal(np.asarray(ovf), np.asarray(rovf))
+
+
+def test_fb3_from_codes_matches_global(rand_index):
+    """The n>=2^31 build path (per-shard fblock from codes, no global table)
+    must equal the from-global-fblock shards."""
+    from rowbowt_tpu.parallel.sharded_dense import ShardedDenseIndex
+
+    idx, _ = rand_index
+    run_len = np.diff(np.append(idx.run_start, idx.n))
+    codes = np.repeat(idx.run_head.astype(np.int64), run_len)
+    sdx = ShardedDenseIndex.build(idx, n_idx=4)
+    fb3, base, per_blk = ShardedDenseIndex.fb3_from_codes(codes, idx.A, 4)
+    assert per_blk == sdx.per_blk
+    assert base.dtype == np.int64
+    np.testing.assert_array_equal(base, sdx.base)
+    np.testing.assert_array_equal(fb3, sdx.fb3)
