@@ -279,6 +279,38 @@ def run_config(name: str) -> dict:
     out[f"markers_greedy_reads_per_s_{name}"] = round(BATCH / tg, 1)
     print(f"bench[{name}]: greedy markers (both strands) {BATCH/tg:,.0f} reads/s",
           file=sys.stderr)
+    _emit(out)
+
+    if name == "chr":
+        # config-4 proper: LONG reads (2 kb, 1% errors) greedy-seeded against
+        # the chr-scale index (BASELINE.md config 4 / tests/greedy_seeding)
+        LB, LL = 8192, 2000
+        text = np.load(os.path.join(cfg["cache"], "text.npy"), mmap_mode="r")
+        acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+        lstarts = rng.integers(0, len(text) - LL - 1, size=LB)
+        lreads = np.empty((LB, LL), dtype=np.uint8)
+        for i, s in enumerate(lstarts):
+            lreads[i] = text[s:s + LL]
+        bad = ~np.isin(lreads, acgt).all(axis=1)
+        lreads[bad] = lreads[np.flatnonzero(~bad)[0] if (~bad).any() else 0]
+        nerr = LL // 100
+        epos = rng.integers(0, LL, size=(LB, nerr))
+        echr = rng.choice(acgt, size=(LB, nerr))
+        lreads[np.arange(LB)[:, None], epos] = echr
+        lq = jnp.asarray(tab[lreads.astype(np.int64)].astype(np.int32))
+        ll = jnp.full(LB, LL, dtype=jnp.int32)
+
+        @jax.jit
+        def greedy_long(dx, q, ln, salt):
+            o = markers_greedy_seeding(
+                dx, q, ln + salt - salt, wsize=10, max_range=1000,
+                max_seeds=32, max_k=16, use_ftab=False)
+            return jnp.sum(o[5].astype(jnp.int64)) + jnp.sum(o[6].astype(jnp.int64))
+
+        tl2 = _timeit(lambda s: greedy_long(dx, lq, ll, s), 1)
+        out["greedy_long_reads_per_s_chr"] = round(LB / tl2, 1)
+        print(f"bench[chr]: greedy LONG reads (2 kb) {LB/tl2:,.0f} reads/s "
+              f"({LB*LL/tl2/1e6:,.1f} M chars/s)", file=sys.stderr)
     return out
 
 
