@@ -51,6 +51,10 @@ def main(argv=None):
                "locate is unavailable — mirror of fbb_string's no-select limit "
                "(fbb_string.hpp:55-59)")
         return 1
+    if args.markers and idx.ma_row is None:
+        eprint("error: index has no marker array (build with -m); "
+               "marker queries are unavailable")
+        return 1
     dx = device_index(idx)
     load_s = t_load.lap()
 

@@ -17,7 +17,7 @@ import sys
 import numpy as np
 
 from rowbowt_tpu.cli.common import (
-    device_index, iter_query_batches, load_index,
+    device_index, eprint, iter_query_batches, load_index,
 )
 from rowbowt_tpu.index import marker_allele, marker_pos, marker_seq
 from rowbowt_tpu.midx import PosMarkers
@@ -35,7 +35,17 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     idx = load_index(args.inpre, sa=True, dl=True)
-    midx = PosMarkers.load(args.inpre.rstrip("/") + ".midx.npz")
+    midx_path = args.inpre.rstrip("/") + ".midx.npz"
+    try:
+        midx = PosMarkers.load(midx_path)
+    except FileNotFoundError:
+        eprint(f"error: positional marker index not found: {midx_path} "
+               "(build it with rbt_midx or rbt_build -m)")
+        return 1
+    if idx.samples_last is None:
+        eprint("error: index has no toehold SA (build with -s); "
+               "rbt_locs needs locate support")
+        return 1
     dx = device_index(idx)
 
     from rowbowt_tpu.engine.seeds import locate_from_longest_seed, seeds_greedy_w_sample

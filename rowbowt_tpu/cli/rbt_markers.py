@@ -69,6 +69,9 @@ def main(argv=None):
     eprint("loading rowbowt + markers" + (" and ftab" if args.ftab else ""))
     idx = load_index(args.inpre, sa=False, ma=True, dl=False,
                      ft=args.ftab or args.lmem)
+    if idx.ma_row is None:
+        eprint("error: index has no marker array (build with -m)")
+        return 1
     dx = device_index(idx)
     eprint(f"loading rowbowt + markers took: {t.lap()} seconds")
 

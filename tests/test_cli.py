@@ -186,3 +186,21 @@ def test_sharded_stream_script(built_index, capsys):
     rc = mod.main([built_index, f"{REF}/simple_query.fq", "--n-idx", "4"])
     assert rc == 0
     assert capsys.readouterr().out == GOLDEN_COUNTS
+
+
+def test_missing_component_errors(tmp_path, capsys):
+    """Clean errors (not tracebacks) when a query needs a component the index
+    wasn't built with — the reference die()s with a message (utils.hpp:16-19)."""
+    from rowbowt_tpu.cli import rbt_align, rbt_build, rbt_locs, rbt_markers
+
+    out = str(tmp_path / "bare.idx")
+    assert rbt_build.main(["--fasta", f"{REF}/small.fa", "-o", out]) == 0
+    capsys.readouterr()
+
+    assert rbt_align.main(["-m", out, f"{REF}/simple_query.fq"]) == 1
+    assert "no marker array" in capsys.readouterr().err
+    assert rbt_markers.main([out, f"{REF}/simple_query.fq"]) == 1
+    assert "no marker array" in capsys.readouterr().err
+    assert rbt_locs.main([out, f"{REF}/simple_query.fq"]) == 1
+    err = capsys.readouterr().err
+    assert "not found" in err or "no toehold SA" in err
