@@ -34,7 +34,11 @@ CFG = {
 }
 N_READS = 262_144
 READ_LEN = 100
-BATCH = 131_072  # fblock LF throughput still rises past 32k lanes (fblock_probe)
+# 4 sequential loops of 65k lanes beat one 262k loop 1.47x on v5e — the scan
+# pipelines across the independent per-batch LF chains, hiding gather latency
+# (/tmp/interleave probe, recorded in DESIGN.md); secondary metrics use 2 of
+# these batches concatenated (131k lanes)
+BATCH = 65_536
 
 
 def _ensure_native():
@@ -222,7 +226,10 @@ def run_config(name: str) -> dict:
     # ---- locate (toehold + phi walk) ----
     from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
 
-    qb, lb = qc3[0], len2[0]
+    # secondary metrics run one 131k-lane batch (2 count-batches concatenated)
+    qb = jnp.concatenate([qc3[0], qc3[1]])
+    lb = jnp.concatenate([len2[0], len2[1]])
+    SB = 2 * BATCH
 
     @jax.jit
     def loc_all(dx, qc, ln, salt):
@@ -231,8 +238,8 @@ def run_config(name: str) -> dict:
         return jnp.sum(cnt) + jnp.sum(locs)
 
     tl = _timeit(lambda s: loc_all(dx, qb, lb, s), 1)
-    out[f"locate_reads_per_s_{name}"] = round(BATCH / tl, 1)
-    print(f"bench[{name}]: locate {BATCH/tl:,.0f} reads/s", file=sys.stderr)
+    out[f"locate_reads_per_s_{name}"] = round(SB / tl, 1)
+    print(f"bench[{name}]: locate {SB/tl:,.0f} reads/s", file=sys.stderr)
     _emit(out)
 
     # ---- windowed markers (rb_align -m workload) ----
@@ -245,8 +252,8 @@ def run_config(name: str) -> dict:
         return jnp.sum(used) + jnp.sum(lo)
 
     tm = _timeit(lambda s: mk_all(dx, qb, lb, s), 1)
-    out[f"markers_reads_per_s_{name}"] = round(BATCH / tm, 1)
-    print(f"bench[{name}]: markers {BATCH/tm:,.0f} reads/s", file=sys.stderr)
+    out[f"markers_reads_per_s_{name}"] = round(SB / tm, 1)
+    print(f"bench[{name}]: markers {SB/tm:,.0f} reads/s", file=sys.stderr)
     _emit(out)
 
     # ---- production greedy-seeding marker path (rb_markers workload:
@@ -276,8 +283,8 @@ def run_config(name: str) -> dict:
         return o
 
     tg = _timeit(lambda s: greedy_all(dx, qb, rc, lb, s), 1)
-    out[f"markers_greedy_reads_per_s_{name}"] = round(BATCH / tg, 1)
-    print(f"bench[{name}]: greedy markers (both strands) {BATCH/tg:,.0f} reads/s",
+    out[f"markers_greedy_reads_per_s_{name}"] = round(SB / tg, 1)
+    print(f"bench[{name}]: greedy markers (both strands) {SB/tg:,.0f} reads/s",
           file=sys.stderr)
     _emit(out)
 
