@@ -58,22 +58,38 @@ def main(argv=None):
     dx = device_index(idx)
     load_s = t_load.lap()
 
-    from rowbowt_tpu.engine.count import find_ranges
+    out = sys.stdout
+    t_query = Timer()
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    if args.profile:
+        import jax.profiler
+
+        stack.enter_context(jax.profiler.trace(args.profile))
+    with stack:  # guarantees the trace flushes even if the loop raises
+        n_reads, n_chars = _query_loop(args, idx, dx, out)
+    if args.profile:
+        eprint(f"profiler trace written to {args.profile}")
+    query_s = t_query.lap()
+    # the reference's "<load_s> <query_s>" stderr line (rb_align.cpp:164-192),
+    # plus the BASELINE.md meters
+    eprint(f"{load_s} {query_s}")
+    if query_s > 0:
+        eprint(f"meter: {n_reads/query_s:,.0f} reads/s, "
+               f"{n_chars/query_s/1e6:,.1f} M LF-steps/s")
+    return 0
+
+
+def _query_loop(args, idx, dx, out):
     import jax.numpy as jnp
 
+    from rowbowt_tpu.engine.count import find_ranges
     from rowbowt_tpu.engine.locate import (
         find_ranges_w_toehold, locate_ragged, resolve_docs,
     )
     from rowbowt_tpu.engine.markers import markers_for_ranges
 
-    out = sys.stdout
-    t_query = Timer()
-    prof = None
-    if args.profile:
-        import jax.profiler
-
-        prof = jax.profiler.trace(args.profile)
-        prof.__enter__()
     n_reads = 0
     n_chars = 0
     for names, qc, lens in iter_query_batches(idx, args.fastq, args.batch_size):
@@ -125,17 +141,7 @@ def main(argv=None):
                     m = np.int64(mvals[b, j])
                     parts.append(f"{int(marker_pos(m))}/{int(marker_allele(m))} ")
                 out.write("".join(parts) + "\n")
-    if prof is not None:
-        prof.__exit__(None, None, None)
-        eprint(f"profiler trace written to {args.profile}")
-    query_s = t_query.lap()
-    # the reference's "<load_s> <query_s>" stderr line (rb_align.cpp:164-192),
-    # plus the BASELINE.md meters
-    eprint(f"{load_s} {query_s}")
-    if query_s > 0:
-        eprint(f"meter: {n_reads/query_s:,.0f} reads/s, "
-               f"{n_chars/query_s/1e6:,.1f} M LF-steps/s")
-    return 0
+    return n_reads, n_chars
 
 
 if __name__ == "__main__":

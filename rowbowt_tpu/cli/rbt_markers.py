@@ -109,18 +109,19 @@ def main(argv=None):
         for ms in seeds:
             out.write(ms.print_buf() + "\n")
 
-    prof = None
+    import contextlib
+
+    stack = contextlib.ExitStack()
     if args.profile:
         import jax.profiler
 
-        prof = jax.profiler.trace(args.profile)
-        prof.__enter__()
-    if args.lmem:
-        _run_lmem(args, idx, dx, K, filter_and_print)
-    else:
-        _run_greedy(args, idx, dx, S, K, filter_and_print)
-    if prof is not None:
-        prof.__exit__(None, None, None)
+        stack.enter_context(jax.profiler.trace(args.profile))
+    with stack:  # guarantees the trace flushes even if the loop raises
+        if args.lmem:
+            _run_lmem(args, idx, dx, K, filter_and_print)
+        else:
+            _run_greedy(args, idx, dx, S, K, filter_and_print)
+    if args.profile:
         eprint(f"profiler trace written to {args.profile}")
     eprint(f"counting markers took: {t.lap()} seconds")
     return 0

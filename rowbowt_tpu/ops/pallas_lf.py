@@ -106,6 +106,9 @@ def find_ranges_pallas(dx, qcodes, lengths, tile: int = 1024):
     assert nb * FB_ROW * 4 <= 12 * (1 << 20), "fblock too large for VMEM"
     B, L = qcodes.shape
     assert B % tile == 0
+    # F8 holds A+1 fence values in FB_CKPT lanes and the kernel one-hots over
+    # f_of(c+1) for c in [0, A): both need A < FB_CKPT, not just A <= FB_CKPT
+    assert dx.A < FB_CKPT, f"pallas LF needs A<{FB_CKPT}, got {dx.A}"
     F8 = jnp.zeros((1, FB_CKPT), jnp.int32).at[0, : dx.A + 1].set(
         dx.arrays["F"][: dx.A + 1].astype(jnp.int32))
 

@@ -13,25 +13,6 @@ import jax
 import jax.numpy as jnp
 
 
-def slot_set(arr, slot, mask, val):
-    """arr[b, slot[b]] = val[b] where mask[b], as a one-hot select.
-
-    arr [B, W]; slot [B] int; mask [B] bool; val [B] (or scalar)."""
-    onehot = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1) == (
-        slot[:, None].astype(jnp.int32))
-    v = jnp.broadcast_to(jnp.asarray(val, dtype=arr.dtype)[..., None]
-                         if jnp.ndim(val) else jnp.asarray(val, arr.dtype),
-                         arr.shape)
-    return jnp.where(onehot & mask[:, None], v, arr)
-
-
-def slot_get(arr, slot):
-    """arr[b, slot[b]] as a one-hot dot (gather-free).  arr [B, W]."""
-    onehot = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1) == (
-        slot[:, None].astype(jnp.int32))
-    return jnp.sum(jnp.where(onehot, arr, 0), axis=1)
-
-
 def tslot_set(arr, slot, mask, val):
     """arr[slot[b], b] = val[b] where mask[b] — the TRANSPOSED layout.
 
@@ -90,15 +71,3 @@ def window_entry_ids(ws, wc, nrec, max_k: int):
     valid = jnp.any(inwin, axis=1) & (r <= used[:, None])
     entry = jnp.where(valid, w_ws + src, 0)
     return entry, valid, used, total
-
-
-def slot_set_rows(arr, slot, mask, rowval):
-    """arr[b, slot[b], :] = rowval[b, :] where mask[b].
-
-    arr [B, S, K]; slot [B]; mask [B] or [B, K]; rowval [B, K]."""
-    B, S, K = arr.shape
-    onehot = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1) == (
-        slot[:, None].astype(jnp.int32))
-    m = mask if mask.ndim == 2 else jnp.broadcast_to(mask[:, None], (B, K))
-    full = onehot[:, :, None] & m[:, None, :]
-    return jnp.where(full, rowval.astype(arr.dtype)[:, None, :], arr)

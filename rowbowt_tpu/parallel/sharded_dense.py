@@ -196,11 +196,14 @@ def _mk_rank(sdx: ShardedDenseIndex, tb):
         row = fb_loc[jnp.clip(lblk, 0, per_blk - 1)]
         v = _fb_rank_from_rows(row, isafe & (DENSE_BLOCK - 1), csafe)
         sel = jnp.arange(FB_CKPT, dtype=jnp.int32)[None, :] == csafe[:, None].astype(jnp.int32)
-        b = jnp.sum(jnp.where(sel, base8[None, :], 0), axis=1).astype(v.dtype)
-        v = jax.lax.psum(jnp.where(owner, v + b, 0), "idx")
-        total = F_[csafe + 1] - F_[csafe]
+        # widen the int32 local rank to the LANE dtype before adding the int64
+        # global base — never narrow the base (it holds counts >= 2^31 on a
+        # 1000G index); the psum rides the lane dtype too
+        b = jnp.sum(jnp.where(sel, base8[None, :], 0), axis=1).astype(i.dtype)
+        v = jax.lax.psum(jnp.where(owner, v.astype(i.dtype) + b, 0), "idx")
+        total = (F_[csafe + 1] - F_[csafe]).astype(i.dtype)
         v = jnp.where(i >= n, total, v)
-        return jnp.where(c < 0, 0, v).astype(i.dtype)
+        return jnp.where(c < 0, 0, v)
 
     return rank
 

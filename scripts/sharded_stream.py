@@ -49,7 +49,15 @@ def main(argv=None):
     mh.init(args.coordinator, args.num_processes, args.process_id)
     mesh = mh.global_mesh(n_idx=args.n_idx)
     idx = RbtIndex.load(args.inpre, with_ma=args.markers)
+    if args.markers and idx.ma_row is None:
+        print("error: index has no marker array (build with -m)",
+              file=sys.stderr)
+        return 1
     sdx = ShardedDenseIndex.build(idx, n_idx=args.n_idx)
+    if args.markers and sdx.ms2 is None:
+        print("error: index markers lack the dense ma_start1 table "
+              "(rebuild with dense=True)", file=sys.stderr)
+        return 1
     tables = sdx.device_put(mesh)
     n_dp = mesh.shape["dp"]
     out = sys.stdout

@@ -182,6 +182,44 @@ def test_sharded_dense_markers(rand_index):
     np.testing.assert_array_equal(np.asarray(ovf), np.asarray(rovf))
 
 
+def test_sharded_rank_int64_base(rand_index):
+    """Global sharded ranks must ride the int64 LANE dtype when the per-shard
+    base offsets exceed 2^31 (the 1000G regime; toehold_sa.hpp:133-155 u64
+    contract) — regression for _mk_rank narrowing the base to int32."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from rowbowt_tpu.parallel.sharded_dense import (
+        ShardedDenseIndex, _mk_rank, _specs,
+    )
+
+    idx, _ = rand_index
+    sdx = ShardedDenseIndex.build(idx, n_idx=4)
+    BIG = np.int64(3) << 31  # fake shard offsets past 2^31
+    sdx.base = sdx.base + BIG
+    mesh = make_mesh(n_dp=2, n_idx=4)
+    tables = {k: v for k, v in sdx.device_put(mesh).items()
+              if k in ("fb3", "base", "F")}
+    rng = np.random.default_rng(7)
+    i = rng.integers(0, idx.n, size=16).astype(np.int64)
+    c = rng.integers(0, idx.A, size=16).astype(np.int64)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(_specs(tables), P("dp"), P("dp")), out_specs=P("dp"))
+    def run(tb, i, c):
+        return _mk_rank(sdx, tb)(i, c)
+
+    got = np.asarray(jax.jit(run)(tables, jax.numpy.asarray(i),
+                                  jax.numpy.asarray(c)))
+    assert got.dtype == np.int64
+    run_len = np.diff(np.append(idx.run_start, idx.n))
+    codes = np.repeat(idx.run_head.astype(np.int64), run_len)
+    for j in range(16):
+        want = int((codes[: i[j]] == c[j]).sum()) + int(BIG)
+        assert got[j] == want, (j, int(i[j]), int(c[j]))
+
+
 def test_fb3_from_codes_matches_global(rand_index):
     """The n>=2^31 build path (per-shard fblock from codes, no global table)
     must equal the from-global-fblock shards."""
