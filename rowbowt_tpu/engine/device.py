@@ -42,7 +42,9 @@ class DeviceIndex:
 
     @property
     def idx_dtype(self):
-        return self.arrays["run_start"].dtype
+        if "run_start" in self.arrays:
+            return self.arrays["run_start"].dtype
+        return self.arrays["F"].dtype  # big (n >= 2^31) indexes carry no run tables
 
     @property
     def has_sa(self) -> bool:

@@ -119,6 +119,46 @@ def rank_fblock(dx: DeviceIndex, i, c):
     return jnp.where(c < 0, 0, v)
 
 
+def rank_fblock2(dx: DeviceIndex, i, c):
+    """Two-level fused-block rank — the single-chip n >= 2^31 path.
+
+    fb2 int32[nb_pad, 24] rows whose 8 checkpoint lanes are SUPERBLOCK-local
+    (a superblock spans per_blk rows < 2^31 symbols, so int32 cannot
+    overflow); fb2_base int64[n_sup, 8] carries the global count before each
+    superblock (the u64 contract of toehold_sa.hpp:133-155).  Lanes i are
+    int64; the row gather index is int32 (nb < 2^31 up to n = 2^38).
+    rank = base[superblock_of(i), c] + local checkpoint + in-block popcount."""
+    arr = dx.arrays
+    fb2 = arr["fb2"]
+    base = arr["fb2_base"]
+    per_blk = fb2.shape[0] // base.shape[0]
+    csafe = jnp.maximum(c, 0)
+    isafe = jnp.minimum(i, dx.n - 1)
+    blk = (isafe >> 7).astype(jnp.int32)
+    off = (isafe & (_DB - 1)).astype(jnp.int32)
+    row = fb2[blk]  # [B, 24] int32
+    v32 = _fb_rank_from_rows(row, off, csafe.astype(jnp.int32))
+    sel = jnp.arange(_FB_CKPT, dtype=jnp.int32)[None, :] == (
+        csafe[:, None].astype(jnp.int32))
+    b = jnp.sum(jnp.where(sel, base[blk // per_blk], 0), axis=1)
+    v = v32.astype(i.dtype) + b.astype(i.dtype)
+    total = (arr["F"][csafe + 1] - arr["F"][csafe]).astype(i.dtype)
+    v = jnp.where(i >= dx.n, total, v)
+    return jnp.where(c < 0, 0, v)
+
+
+def lf_step_fblock2(dx: DeviceIndex, lo, hi, c):
+    """Batched LF over the two-level table: int64 range arithmetic."""
+    c_before = rank_fblock2(dx, lo, c)
+    c_inside = rank_fblock2(dx, hi + 1, c) - c_before
+    nlo = _f_onehot(dx, c).astype(lo.dtype) + c_before
+    nhi = nlo + c_inside - 1
+    empty = (c_inside <= 0) | (c < 0)
+    one = jnp.ones((), dtype=nlo.dtype)
+    zero = jnp.zeros((), dtype=nlo.dtype)
+    return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
+
+
 def lf_step_fblock(dx: DeviceIndex, lo, hi, c):
     """Batched LF over the fused-block table: 2 row gathers per lane-step."""
     csafe = jnp.maximum(c, 0)
@@ -183,6 +223,8 @@ def lf_step_auto(dx: DeviceIndex):
     occ1 cannot exist at all."""
     if "fblock" in dx.arrays:
         return lf_step_fblock
+    if "fb2" in dx.arrays:
+        return lf_step_fblock2
     if "occ1_flat" in dx.arrays:
         return lf_step_occ1
     if dx.has_dense:
