@@ -208,6 +208,39 @@ def _mk_rank(sdx: ShardedDenseIndex, tb):
     return rank
 
 
+def _mk_ms(sdx: ShardedDenseIndex, tb):
+    """Owner-picked global ma_start1[i] closure (i in [0, n]); call inside
+    shard_map.  The right edge is duplicated into each shard (ms2 build), so
+    the last shard owns the i == n probe."""
+    my = jax.lax.axis_index("idx")
+    ms_loc = tb["ms2"][0] if tb["ms2"].ndim == 2 else tb["ms2"]
+    per = sdx.per_pos
+
+    def ms_at(i):
+        li = i - my * per
+        owner = (li >= 0) & (li < per)
+        owner = owner | ((my == sdx.n_idx - 1) & (li == per))
+        v = ms_loc[jnp.clip(li, 0, per)]
+        return jax.lax.psum(jnp.where(owner, v, 0), "idx")
+
+    return ms_at
+
+
+def _mk_mv_pick(sdx: ShardedDenseIndex, tb):
+    """Entry-sharded packed-marker resolve: ids -> values via one owner psum."""
+    my = jax.lax.axis_index("idx")
+    mv_loc = tb["mv2"][0] if tb["mv2"].ndim == 2 else tb["mv2"]
+    goff = tb["goff"]
+
+    def pick(entry, valid):
+        lg = entry.astype(jnp.int64) - goff[my]
+        owner = (lg >= 0) & (lg < goff[my + 1] - goff[my]) & valid
+        v = mv_loc[jnp.clip(lg, 0, mv_loc.shape[0] - 1)]
+        return jax.lax.psum(jnp.where(owner, v, 0), "idx")
+
+    return pick
+
+
 def _pos_pick(sdx: ShardedDenseIndex, tb, name, i):
     """Owner-picked gather from a position-sharded [n_idx, per_pos] table."""
     my = jax.lax.axis_index("idx")
@@ -338,20 +371,12 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
     def run(tb, qc, lens):
         my = jax.lax.axis_index("idx")
         rank = _mk_rank(sdx, tb)
+        ms_at = _mk_ms(sdx, tb)
         dt = tb["F"].dtype
         F_ = tb["F"]
         m = lens.astype(dt)
         Bl = qc.shape[0]
         mr = jnp.asarray(min(int(max_range), int(jnp.iinfo(dt).max)), dtype=dt)
-        ms_loc = tb["ms2"][0] if tb["ms2"].ndim == 2 else tb["ms2"]
-        per = sdx.per_pos
-
-        def ms_at(i):  # global ma_start1[i], i in [0, n]
-            li = i - my * per
-            owner = (li >= 0) & (li < per)
-            owner = owner | ((my == sdx.n_idx - 1) & (li == per))
-            v = ms_loc[jnp.clip(li, 0, per)]
-            return jax.lax.psum(jnp.where(owner, v, 0), "idx")
 
         zero = (qc[:, 0] * 0).astype(dt)
         lo = zero
@@ -409,20 +434,181 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
 
         # value expansion against the entry-sharded mv2: per-slot entry ids
         # computed arithmetically, then ONE owner-pick psum (was W of them)
-        mv_loc = tb["mv2"][0] if tb["mv2"].ndim == 2 else tb["mv2"]
-        goff = tb["goff"]
-        e0 = goff[my]
-        stored = goff[my + 1] - e0
         entry, valid, used, total = U.window_entry_ids(ws.T, wc.T, nw, max_k)
-        lg = entry.astype(jnp.int64) - e0
-        owner = (lg >= 0) & (lg < stored) & valid
-        v = mv_loc[jnp.clip(lg, 0, mv_loc.shape[0] - 1)]
-        vals = jax.lax.psum(jnp.where(owner, v, 0), "idx")
+        vals = _mk_mv_pick(sdx, tb)(entry, valid)
         buf = jnp.where(valid, vals, -1)
         one = jnp.ones((), dt)
         z = jnp.zeros((), dt)
         lo = jnp.where(done | too_short, one, lo)
         hi = jnp.where(done | too_short, z, hi)
         return lo, hi, buf, used, (total > used)
+
+    return jax.jit(run)(tables, qcodes, lengths)
+
+
+def markers_greedy_seeding_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
+                                         tables: dict, qcodes, lengths,
+                                         wsize: int, max_range: int = 1 << 62,
+                                         max_seeds: int = 8, max_k: int = 16,
+                                         values: bool = True):
+    """The PRODUCTION genotyping engine on the position-sharded layout:
+    RowBowt::get_markers_greedy_seeding (rowbowt.hpp:406-482) — rb_markers'
+    workload (rb_markers.cpp:550-595) — over an index too big for one chip.
+
+    Mirrors engine.seeds.markers_greedy_seeding's non-ftab state machine
+    (the reference's rb_markers DEFAULT — -f is opt-in) with the sharded
+    primitives: 2 collectives per LF step (the [2B] rank psum, then the [2B]
+    window/seed marker-bounds psum — the probe targets depend on the step's
+    ranks, so they cannot fuse), plus one [S*K, B] entry-value psum at the
+    end.  Buffer-exact vs the replicated engine (tests/test_parallel.py).
+
+    Returns (slo, shi, sqs, sqe [B,S], mvals [B,S,K], mcnt [B,S], ns [B]);
+    with values=False, mvals holds ma_val ENTRY IDS for host resolve.
+    """
+    B, L = qcodes.shape
+    S, K = max_seeds, max_k
+    W = 2 * (L // max(wsize, 1)) + 4
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(_specs(tables), P("dp", None), P("dp")),
+             out_specs=(P("dp", None), P("dp", None), P("dp", None),
+                        P("dp", None), P("dp", None, None), P("dp", None),
+                        P("dp")))
+    def run(tb, qc, lens):
+        rank = _mk_rank(sdx, tb)
+        ms_at = _mk_ms(sdx, tb)
+        dt = tb["F"].dtype
+        F_ = tb["F"]
+        m = lens.astype(dt)
+        Bl = qc.shape[0]
+        mr = jnp.asarray(min(int(max_range), int(jnp.iinfo(dt).max)), dtype=dt)
+        zero = (qc[:, 0] * 0).astype(dt)
+
+        lo = zero
+        hi = zero + (sdx.n - 1)
+        i = zero
+        plo, phi_ = lo, hi
+        seed_ei = m
+        window_ei = m
+        ws = jnp.zeros((W, Bl), dtype=dt) + zero[None, :]
+        wc = jnp.zeros((W, Bl), dtype=dt) + zero[None, :]
+        wseed = jnp.zeros((W, Bl), dtype=dt) + zero[None, :]
+        nrec = zero
+        slo = jnp.ones((S, Bl), dtype=dt) + zero[None, :]
+        shi = jnp.zeros((S, Bl), dtype=dt) + zero[None, :]
+        sqs = jnp.zeros((S, Bl), dtype=dt) + zero[None, :]
+        sqe = jnp.zeros((S, Bl), dtype=dt) + zero[None, :]
+        ns = zero
+        qflat = qc.reshape(-1).astype(dt)
+        lane_base = jnp.arange(Bl, dtype=dt) * L
+
+        def body(_, st):
+            (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+             slo, shi, sqs, sqe, ns) = st
+            active = i < m
+            col = jnp.clip(L - 1 - i, 0, L - 1).astype(dt)
+            c = qflat[(lane_base + col).astype(jnp.int32)].astype(dt)
+            # LF: one concatenated [2B] rank psum (same shape as _lf_body)
+            both = rank(jnp.concatenate([lo, hi + 1]), jnp.concatenate([c, c]))
+            cb = both[:Bl]
+            ci = both[Bl:] - cb
+            csafe = jnp.maximum(c, 0)
+            nlo = F_[csafe] + cb
+            nhi = nlo + ci - 1
+            empty = (ci <= 0) | (c < 0)
+            nlo = jnp.where(empty, jnp.ones((), dt), nlo)
+            nhi = jnp.where(empty, jnp.zeros((), dt), nhi)
+
+            ok = active & ~empty
+            fail = active & empty
+            # success: window probe; failure: seed-final probe of prev
+            w_trigger = ok & (window_ei - (m - i - 1) >= wsize)
+            f_probe = fail & (seed_ei - (m - i) >= wsize)
+            tlo = jnp.where(fail, plo, nlo)
+            thi = jnp.where(fail, phi_, nhi)
+            go = (w_trigger | f_probe) & ((thi - tlo + 1) <= mr)
+            both_ms = ms_at(jnp.clip(jnp.concatenate([
+                jnp.where(go, tlo, 0), jnp.where(go, thi + 1, 0)]), 0, sdx.n))
+            s_ = both_ms[:Bl]
+            cnt = jnp.where(go, jnp.maximum(both_ms[Bl:] - s_, 0), 0).astype(dt)
+            slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
+            ws = U.tslot_set(ws, slot_r, go, s_.astype(dt))
+            wc = U.tslot_set(wc, slot_r, go, cnt)
+            wseed = U.tslot_set(wseed, slot_r, go, ns)
+            nrec = nrec + go.astype(dt)
+            window_ei = jnp.where(w_trigger, m - i - 1, window_ei)
+
+            rec = fail & (ns < S)
+            slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
+            slo = U.tslot_set(slo, slot, rec, plo)
+            shi = U.tslot_set(shi, slot, rec, phi_)
+            sqs = U.tslot_set(sqs, slot, rec, m - i)
+            sqe = U.tslot_set(sqe, slot, rec, seed_ei - 1)
+            ns = ns + fail.astype(dt)
+            seed_ei = jnp.where(fail, m - i - 1, seed_ei)
+            window_ei = jnp.where(fail, m - i - 1, window_ei)
+            lo = jnp.where(ok, nlo, jnp.where(fail, 0, lo))
+            hi = jnp.where(ok, nhi, jnp.where(fail, sdx.n - 1, hi))
+            plo = jnp.where(ok, nlo, jnp.where(fail, 0, plo))
+            phi_ = jnp.where(ok, nhi, jnp.where(fail, sdx.n - 1, phi_))
+            i = jnp.where(active, i + 1, i)
+            return (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed,
+                    nrec, slo, shi, sqs, sqe, ns)
+
+        st = (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+              slo, shi, sqs, sqe, ns)
+        (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+         slo, shi, sqs, sqe, ns) = jax.lax.fori_loop(0, L, body, st)
+
+        # final emission (rowbowt.hpp:477-481)
+        nonempty = hi >= lo
+        f_probe = nonempty & (seed_ei - (m - i) >= wsize)
+        go = f_probe & ((hi - lo + 1) <= mr)
+        both_ms = ms_at(jnp.clip(jnp.concatenate([
+            jnp.where(go, lo, 0), jnp.where(go, hi + 1, 0)]), 0, sdx.n))
+        s_ = both_ms[:Bl]
+        cnt = jnp.where(go, jnp.maximum(both_ms[Bl:] - s_, 0), 0).astype(dt)
+        slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
+        ws = U.tslot_set(ws, slot_r, go, s_.astype(dt))
+        wc = U.tslot_set(wc, slot_r, go, cnt)
+        wseed = U.tslot_set(wseed, slot_r, go, ns)
+        nrec = nrec + go.astype(dt)
+        emit = m > 0
+        rec = emit & (ns < S)
+        slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
+        slo = U.tslot_set(slo, slot, rec, lo)
+        shi = U.tslot_set(shi, slot, rec, hi)
+        sqs = U.tslot_set(sqs, slot, rec, m - i)
+        sqe = U.tslot_set(sqe, slot, rec, seed_ei - 1)
+        ns = ns + emit.astype(dt)
+
+        # chronological per-seed append replay (pure VPU, same as the
+        # replicated engine), then ONE entry-sharded value psum
+        eflat = jnp.zeros((S * K, Bl), dtype=dt) + zero[None, :]
+        evalid = (jnp.zeros((S * K, Bl), dtype=dt) + zero[None, :]) != 0
+        used_s = jnp.zeros((S, Bl), dtype=dt) + zero[None, :]
+        mcnt = jnp.zeros((S, Bl), dtype=dt) + zero[None, :]
+        col_s = (jnp.arange(S * K, dtype=dt) // K)[:, None]
+        col_k = (jnp.arange(S * K, dtype=dt) % K)[:, None]
+        for w in range(W):
+            live = (w < nrec) & (wseed[w] < S)
+            sl = jnp.clip(wseed[w], 0, S - 1).astype(jnp.int32)
+            cnt = jnp.where(live, wc[w], 0)
+            u = U.tslot_get(used_s, sl)
+            src = col_k - u[None, :]
+            take = ((src >= 0) & (src < jnp.minimum(cnt, K)[None, :])
+                    & live[None, :] & (col_s == sl[None, :].astype(dt)))
+            eflat = jnp.where(take, ws[w][None, :] + jnp.clip(src, 0, K - 1),
+                              eflat)
+            evalid = evalid | take
+            used_s = U.tslot_set(used_s, sl, live, jnp.minimum(u + cnt, K))
+            mcnt = U.tslot_set(mcnt, sl, live, U.tslot_get(mcnt, sl) + cnt)
+        if values:
+            vals = _mk_mv_pick(sdx, tb)(eflat, evalid)
+            mvals = jnp.where(evalid, vals, -1)
+        else:
+            mvals = jnp.where(evalid, eflat.astype(jnp.int64), -1)
+        mvals = mvals.reshape(S, K, Bl).transpose(2, 0, 1)
+        return (slo.T, shi.T, sqs.T, sqe.T, mvals, mcnt.T, ns)
 
     return jax.jit(run)(tables, qcodes, lengths)

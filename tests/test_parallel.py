@@ -182,6 +182,44 @@ def test_sharded_dense_markers(rand_index):
     np.testing.assert_array_equal(np.asarray(ovf), np.asarray(rovf))
 
 
+def test_sharded_dense_greedy_seeding(rand_index):
+    """The production greedy-seeding engine on the sharded layout must be
+    buffer-exact vs the replicated engine (rowbowt.hpp:406-482 workload)."""
+    from rowbowt_tpu.engine.seeds import markers_greedy_seeding
+    from rowbowt_tpu.parallel.sharded_dense import (
+        ShardedDenseIndex,
+        markers_greedy_seeding_sharded_dense,
+    )
+
+    idx, text = rand_index
+    rng = np.random.default_rng(77)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for t in range(16):
+        L = int(rng.integers(idx.ma_wsize + 2, 60))
+        p = int(rng.integers(0, len(text) - L))
+        r = np.array(text[p:p + L])
+        if t % 3 == 0:  # mutate to force seed restarts
+            r[rng.integers(0, L)] = rng.choice(acgt)
+        reads.append(bytes(r))
+    qc, lens = encode_batch(idx, reads)
+    dx = DeviceIndex.from_index(idx)
+    mesh = make_mesh(n_dp=2, n_idx=4)
+    sdx = ShardedDenseIndex.build(idx, n_idx=4)
+    tables = sdx.device_put(mesh)
+    for values in (True, False):
+        ref = markers_greedy_seeding(
+            dx, qc, lens, wsize=idx.ma_wsize, max_range=1000,
+            max_seeds=4, max_k=8, use_ftab=False, values=values)
+        got = markers_greedy_seeding_sharded_dense(
+            mesh, sdx, tables, qc, lens, wsize=idx.ma_wsize, max_range=1000,
+            max_seeds=4, max_k=8, values=values)
+        for name, a, b in zip(
+                ("slo", "shi", "sqs", "sqe", "mvals", "mcnt", "ns"), ref, got):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{name} values={values}")
+
+
 def test_sharded_rank_int64_base(rand_index):
     """Global sharded ranks must ride the int64 LANE dtype when the per-shard
     base offsets exceed 2^31 (the 1000G regime; toehold_sa.hpp:133-155 u64
