@@ -48,26 +48,54 @@ def main(argv=None):
         return 1
     dx = device_index(idx)
 
-    from rowbowt_tpu.engine.seeds import locate_from_longest_seed, seeds_greedy_w_sample
+    import jax.numpy as jnp
 
+    from rowbowt_tpu.cli.common import Timer, pow2_at_least
+    from rowbowt_tpu.engine.seeds import locate_from_longest_seed, seeds_greedy_w_sample
+    from rowbowt_tpu.midx import at_ranges_batched
+
+    mpos, mval = midx.device()
     out = sys.stdout
+    t_query = Timer()
+    n_reads = 0
     for names, qc, lens in iter_query_batches(idx, args.fastq, args.batch_size):
+        n_reads += len(names)
         res = seeds_greedy_w_sample(dx, qc, lens, min_length=args.wsize)
-        locs, cnt = map(
-            np.asarray,
-            locate_from_longest_seed(dx, *res, max_hits=args.max_hits),
-        )
+        locs, cnt = locate_from_longest_seed(dx, *res, max_hits=args.max_hits)
+        # every (read, location) pair probes the positional markers in ONE
+        # [B*max_hits]-batched two-searchsorted kernel (rle_window_arr::
+        # at_range per hit, rb_markers_tsa.cpp:82) — the per-read host loop
+        # was the serial bottleneck at real locate throughput
+        lens_d = jnp.asarray(np.asarray(lens))
+        flat_l = locs.reshape(-1)
+        flat_r = flat_l + jnp.repeat(lens_d, locs.shape[1]) - 1
+        safe = flat_l >= 0
+        mk = 8
+        while True:
+            vals, mcnt = at_ranges_batched(
+                mpos, mval, jnp.where(safe, flat_l, 0),
+                jnp.where(safe, flat_r, -1), mk)
+            mcnt_h = np.asarray(mcnt)
+            if mcnt_h.max(initial=0) <= mk:
+                break
+            mk = pow2_at_least(int(mcnt_h.max()), floor=mk)
+        vals_h = np.asarray(vals)
+        cnt_h = np.asarray(cnt)
+        H = locs.shape[1]
         for b, name in enumerate(names):
             parts = [name]
-            for j in range(int(cnt[b])):
-                l = int(locs[b, j])
-                for m in midx.at_range(l, l + int(lens[b]) - 1):
-                    m = np.int64(m)
+            for j in range(int(cnt_h[b])):
+                row = b * H + j
+                for t in range(int(mcnt_h[row])):
+                    m = np.int64(vals_h[row, t])
                     parts.append(
                         f" {int(marker_seq(m))}/{int(marker_pos(m))}/"
                         f"{int(marker_allele(m))}"
                     )
             out.write("".join(parts) + "\n")
+    query_s = t_query.lap()
+    if query_s > 0:
+        eprint(f"meter: {n_reads/query_s:,.0f} reads/s")
     return 0
 
 

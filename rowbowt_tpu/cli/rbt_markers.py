@@ -130,9 +130,19 @@ def main(argv=None):
 def _run_greedy(args, idx, dx, S, K, filter_and_print):
     from rowbowt_tpu.engine.seeds import markers_greedy_seeding
 
-    for names, qc, lens in iter_query_batches(
-        idx, args.fastq, args.batch_size, normalize=True, with_rc=True
-    ):
+    # --heuristic --best-strand-only: the reference's heuristic worker only
+    # computes the second strand when the first didn't stop early
+    # (rb_markers.cpp:429-519).  Device form: forward-strand kernel first,
+    # then ONE compacted reverse-strand batch holding only the reads that
+    # didn't stop (lanes bucketed to powers of two) — the skipped lanes are
+    # real saved LF work, not host post-filtering.  RBT_NO_STRAND_SKIP=1
+    # forces the always-both-strands path (parity tests / A-B timing).
+    import os
+
+    heur_skip = (args.heuristic and args.best_strand
+                 and not os.environ.get("RBT_NO_STRAND_SKIP"))
+
+    def run_kernel(qc, lens):
         slo, shi, sqs, sqe, mids, mcnt, ns = map(
             np.asarray,
             markers_greedy_seeding(
@@ -145,6 +155,17 @@ def _run_greedy(args, idx, dx, S, K, filter_and_print):
         mvals = np.where(
             mids >= 0,
             idx.ma_val[np.clip(mids, 0, idx.ma_val.shape[0] - 1)], -1)
+        return slo, shi, sqs, sqe, mvals, mcnt, ns
+
+    for names, qc, lens in iter_query_batches(
+        idx, args.fastq, args.batch_size, normalize=True,
+        with_rc=not heur_skip,
+    ):
+        if heur_skip:
+            _greedy_heuristic_batch(args, idx, names, qc, lens, K,
+                                    run_kernel, filter_and_print)
+            continue
+        slo, shi, sqs, sqe, mvals, mcnt, ns = run_kernel(qc, lens)
         for ri, name in enumerate(names):
             rl = int(lens[2 * ri])
             per_strand = []
@@ -156,6 +177,64 @@ def _run_greedy(args, idx, dx, S, K, filter_and_print):
                     min_range=args.min_range, max_k=K,
                 )))
             filter_and_print(name, rl, per_strand)
+
+
+def _greedy_heuristic_batch(args, idx, names, qc, lens, K, run_kernel,
+                            filter_and_print):
+    from rowbowt_tpu.cli.common import pow2_at_least
+    from rowbowt_tpu.engine.filters import heuristic_stop
+
+    qc = np.asarray(qc)
+    lens = np.asarray(lens)
+    f = run_kernel(qc, lens)
+    read_len = args.read_len
+    fwd_seeds = []
+    need_rc = []
+    for ri, name in enumerate(names):
+        rl = int(lens[ri])
+        ss = assemble_seeds(name, "+", rl, f[0][ri], f[1][ri], f[2][ri],
+                            f[3][ri], f[4][ri], f[5][ri], f[6][ri],
+                            min_range=args.min_range, max_k=K)
+        fwd_seeds.append(ss)
+        stopped = any(
+            ms.query_len >= args.min_seed_length
+            and heuristic_stop(ms, read_len, args.min_seed_length)
+            for ms in ss)
+        if not stopped:
+            need_rc.append(ri)
+
+    rc_seeds = {ri: [] for ri in range(len(names))}
+    if need_rc:
+        L = qc.shape[1]
+        # reverse-complement in CODE space from the forward batch: comp
+        # table over index codes, reverse, re-right-align
+        comp = np.full(16, -1, dtype=qc.dtype)
+        tab = idx.alpha.encode_table()
+        for x, y in zip(b"ACGT", b"TGCA"):
+            cx, cy = int(tab[x]), int(tab[y])
+            if cx >= 0 and cy >= 0:
+                comp[cx] = cy
+        sub = qc[need_rc]
+        sublens = lens[need_rc]
+        rc_left = np.where(sub[:, ::-1] >= 0, comp[np.maximum(sub[:, ::-1], 0)], -1)
+        shift = (L - sublens.astype(np.int64))[:, None]
+        src = np.arange(L, dtype=np.int64)[None, :] - shift
+        rc = np.where(src >= 0,
+                      np.take_along_axis(rc_left, np.clip(src, 0, L - 1), 1), -1)
+        nl = pow2_at_least(len(need_rc), floor=min(64, args.batch_size))
+        pad = nl - len(need_rc)
+        if pad:
+            rc = np.concatenate([rc, np.full((pad, L), -1, rc.dtype)])
+            sublens = np.concatenate([sublens, np.zeros(pad, sublens.dtype)])
+        r = run_kernel(rc, sublens)
+        for j, ri in enumerate(need_rc):
+            rl = int(lens[ri])
+            rc_seeds[ri] = assemble_seeds(
+                names[ri], "-", rl, r[0][j], r[1][j], r[2][j], r[3][j],
+                r[4][j], r[5][j], r[6][j], min_range=args.min_range, max_k=K)
+    for ri, name in enumerate(names):
+        filter_and_print(name, int(lens[ri]),
+                         [("+", fwd_seeds[ri]), ("-", rc_seeds[ri])])
 
 
 def _run_lmem(args, idx, dx, K, filter_and_print):

@@ -14,6 +14,7 @@ Text input format for rbt_midx (one marker site occurrence per line):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import numpy as np
 
@@ -58,6 +59,12 @@ class PosMarkers:
         e = int(np.searchsorted(self.pos, r + 1, side="left"))
         return self.val[s:e]
 
+    def device(self):
+        """jax-resident view for the batched kernel below."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.pos), jnp.asarray(self.val)
+
     def save(self, path: str) -> None:
         np.savez(path, pos=self.pos, val=self.val)
 
@@ -65,3 +72,32 @@ class PosMarkers:
     def load(path: str) -> "PosMarkers":
         z = np.load(path)
         return PosMarkers(z["pos"], z["val"])
+
+
+def at_ranges_batched(pos_dev, val_dev, l, r, max_k: int):
+    """[N]-batched rle_window_arr::at_range: markers whose text position lies
+    in [l[i], r[i]] — two searchsorted + one bounded gather, the device form
+    of the per-read host loop rb_markers_tsa.cpp:76-88 drives.
+
+    Returns (vals [N, max_k] packed int64, -1 pad; cnt [N] true counts —
+    cnt > max_k means truncation, the caller re-probes wider)."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("k",))
+    def run(pos, val, l, r, k):
+        s = jnp.searchsorted(pos, l, side="left").astype(jnp.int64)
+        e = jnp.searchsorted(pos, r + 1, side="left").astype(jnp.int64)
+        cnt = e - s
+        offs = jnp.arange(k, dtype=jnp.int64)[None, :]
+        idxs = jnp.minimum(s[:, None] + offs, pos.shape[0] - 1)
+        vals = jnp.where(offs < cnt[:, None], val[idxs], -1)
+        return vals, cnt
+
+    if int(pos_dev.shape[0]) == 0:
+        import jax.numpy as jnp
+
+        N = l.shape[0]
+        return (jnp.full((N, max_k), -1, dtype=jnp.int64),
+                jnp.zeros(N, dtype=jnp.int64))
+    return run(pos_dev, val_dev, l, r, max_k)

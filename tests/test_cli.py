@@ -108,6 +108,23 @@ def test_midx_cli(tmp_path, capsys):
     assert len(got) == 2
 
 
+def test_markers_heuristic_strand_skip_parity(built_index, capsys, monkeypatch):
+    """--heuristic --best-strand-only with the device strand skip (reverse
+    kernel only for non-stopped reads) must print byte-identical output to
+    the always-both-strands path (rb_markers.cpp:429-519 semantics)."""
+    from rowbowt_tpu.cli import rbt_markers
+
+    argv = [built_index, f"{REF}/error_query.fq", "-w", "10",
+            "--heuristic", "--best-strand-only", "-y", "10"]
+    assert rbt_markers.main(argv) == 0
+    fast = capsys.readouterr().out
+    monkeypatch.setenv("RBT_NO_STRAND_SKIP", "1")
+    assert rbt_markers.main(argv) == 0
+    slow = capsys.readouterr().out
+    assert fast == slow
+    assert fast.strip()
+
+
 def test_markers_cli_lmem(built_index, capsys):
     from rowbowt_tpu.cli import rbt_markers
 
