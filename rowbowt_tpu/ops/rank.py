@@ -81,7 +81,10 @@ def rank_dense(dx: DeviceIndex, i, c):
 _FB_CKPT = 8
 _FB_WORDS = _DB // 8
 _FB_ROW = _FB_CKPT + _FB_WORDS
-_NIB_LOW = jnp.uint32(0x11111111)
+# plain int (NOT a jnp constant): a module-level jnp value would initialize
+# the jax backend at import time, which breaks jax.distributed.initialize in
+# multi-process launchers that import engine modules before init
+_NIB_LOW = 0x11111111
 
 
 def _fb_rank_from_rows(row, off, c):

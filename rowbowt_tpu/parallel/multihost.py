@@ -82,6 +82,17 @@ def gather_to_host0(garr) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(garr, tiled=True))
 
 
+def my_rows(garr, rows_per_process: int) -> np.ndarray:
+    """This process's slice of a 'dp'-sharded result built with
+    host_batch_to_global (global row order = process order), so each host can
+    emit its OWN shard's output without any cross-host name exchange."""
+    import jax
+
+    full = gather_to_host0(garr)
+    off = jax.process_index() * rows_per_process
+    return full[off: off + rows_per_process]
+
+
 def is_host0() -> bool:
     import jax
 

@@ -35,18 +35,21 @@ def main(argv=None):
     p.add_argument("--process-id", type=int, default=0)
     args = p.parse_args(argv)
 
+    # distributed init MUST precede anything that initializes the jax
+    # backend (even a module-level jnp constant in an engine import)
+    from rowbowt_tpu.parallel import multihost as mh
+
+    mh.init(args.coordinator, args.num_processes, args.process_id)
+
     import numpy as np
 
     from rowbowt_tpu.cli.common import iter_query_batches
     from rowbowt_tpu.index import RbtIndex, marker_allele, marker_pos
-    from rowbowt_tpu.parallel import multihost as mh
     from rowbowt_tpu.parallel.sharded_dense import (
         ShardedDenseIndex,
         find_ranges_sharded_dense,
         find_ranges_w_markers_sharded_dense,
     )
-
-    mh.init(args.coordinator, args.num_processes, args.process_id)
     mesh = mh.global_mesh(n_idx=args.n_idx)
     idx = RbtIndex.load(args.inpre, with_ma=args.markers)
     if args.markers and idx.ma_row is None:
@@ -73,14 +76,15 @@ def main(argv=None):
         if args.markers:
             lo, hi, buf, used, ovf = find_ranges_w_markers_sharded_dense(
                 mesh, sdx, tables, gqc, glen, wsize=args.wsize, max_k=32)
-            buf_h = mh.gather_to_host0(buf)
-            used_h = mh.gather_to_host0(used)
+            buf_h = mh.my_rows(buf, qc.shape[0])
+            used_h = mh.my_rows(used, qc.shape[0])
         else:
             lo, hi = find_ranges_sharded_dense(mesh, sdx, tables, gqc, glen)
-        lo_h = mh.gather_to_host0(lo)
-        hi_h = mh.gather_to_host0(hi)
-        if not mh.is_host0():
-            continue
+        # every host WRITES ITS OWN shard's results, in its own input order
+        # (only this host knows its read names; cross-host rows would need a
+        # name exchange the reference's single-node design never defines)
+        lo_h = mh.my_rows(lo, qc.shape[0])
+        hi_h = mh.my_rows(hi, qc.shape[0])
         for b, name in enumerate(names):
             s, e = int(lo_h[b]), int(hi_h[b])
             cnt = e - s + 1 if e >= s else 0

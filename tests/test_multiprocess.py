@@ -1,0 +1,89 @@
+"""REAL two-process jax.distributed run of the config-5 deployment script:
+each process streams its own FASTQ shard over a (dp x idx) mesh spanning both
+processes' CPU devices (Gloo collectives), index position-sharded; host 0
+emits ordered results.  This exercises make_array_from_process_local_data and
+process_allgather across an actual process boundary — the DCN path the
+single-process tests degenerate away."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.parametrize("markers", [False, True])
+def test_two_process_sharded_stream(rand_index, tmp_path, markers):
+    from rowbowt_tpu.engine import naive
+
+    idx, text = rand_index
+    pre = str(tmp_path / "idx")
+    idx.save(pre)
+
+    rng = np.random.default_rng(31)
+    L = 20
+    reads = []
+    for _ in range(8):
+        p = int(rng.integers(0, len(text) - L))
+        reads.append(bytes(text[p:p + L]))
+    shards = [reads[:4], reads[4:]]
+    paths = []
+    for s, shard in enumerate(shards):
+        fq = tmp_path / f"shard{s}.fq"
+        with open(fq, "w") as f:
+            for i, r in enumerate(shard):
+                f.write(f"@s{s}r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+        paths.append(str(fq))
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=REPO,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "scripts", "sharded_stream.py"),
+             pre, paths[pid], "--n-idx", "2", "-b", "4",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid)]
+            + (["-m", "--wsize", str(rand_index[0].ma_wsize)] if markers else []),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out, err)
+        outs.append(out)
+    def result_lines(out):  # Gloo logs ride stdout; results start with names
+        return [l for l in out.splitlines() if l.startswith("s0r") or
+                l.startswith("s1r")]
+
+    # each host writes ITS OWN shard's results, in its own input order
+    for pid in range(2):
+        lines = result_lines(outs[pid])
+        assert len(lines) == 4, outs[pid]
+        for i, (line, r) in enumerate(zip(lines, shards[pid])):
+            assert line.startswith(f"s{pid}r{i} ")
+            codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+            lo, hi = naive.find_range(idx, codes)
+            cnt = hi - lo + 1 if hi >= lo else 0
+            assert line.endswith(f"({lo},{hi}), count={cnt}"), (line, lo, hi)
