@@ -285,7 +285,13 @@ def build_index(
             # each (int32), independent of the occ1 gate so chr-scale
             # indexes keep the 1-gather toehold + phi paths.
             kval = sa.astype(idx_dt)
-            phi1 = build_phi1(pred_pos, pred_to_run, samples_last, n, idx_dt)
+            # with the FULL SA in hand, phi is SA-adjacency directly:
+            # phi(SA[j]) = SA[j-1] (wrap j=0 -> SA[n-1]) — one scatter, ~40x
+            # faster than the predecessor-searchsorted reconstruction (which
+            # remains for sample-only raw builds, construct/rawio.py)
+            phi1 = np.empty(n, dtype=idx_dt)
+            phi1[sa[1:]] = sa[:-1].astype(idx_dt)
+            phi1[sa[0]] = sa[n - 1]
 
     idx = RbtIndex(
         n=n,
