@@ -353,7 +353,7 @@ def run_big() -> dict:
           f"fb2 {big.fb2.nbytes/2**30:.2f} GB", file=sys.stderr)
     t0 = time.perf_counter()
     dx = big.device_index()
-    jax.block_until_ready(dx.arrays["fb2"])
+    jax.block_until_ready(dx.arrays["fb2_64" if "fb2_64" in dx.arrays else "fb2"])
     out["hbm_load_s_big"] = round(time.perf_counter() - t0, 1)
     print(f"bench[big]: device {jax.devices()[0]}, HBM load "
           f"{out['hbm_load_s_big']}s", file=sys.stderr)

@@ -94,15 +94,25 @@ class BigIndex:
 
     # ---------------- engine views ----------------
 
-    def device_index(self, device=None):
-        """Single-chip DeviceIndex: count via ops.rank.lf_step_fblock2."""
+    def device_index(self, device=None, fb64: bool = True):
+        """Single-chip DeviceIndex: count via ops.rank.lf_step_fblock2.
+
+        fb64=True (default) repacks to 64-symbol/64B rows at load: a big
+        index is by definition far out of cache, where the smaller row gather
+        wins 1.29x (tools/fblock_probe.py part3).  Checkpoints stay
+        superblock-local so the repack arithmetic is unchanged."""
         import jax
         import jax.numpy as jnp
 
         from rowbowt_tpu.engine.device import DeviceIndex
 
+        if fb64:
+            from rowbowt_tpu.construct.build import fblock_to_fb64
+            key, fb = "fb2_64", fblock_to_fb64(np.asarray(self.fb2), self.n)
+        else:
+            key, fb = "fb2", np.ascontiguousarray(self.fb2)
         arrs = {
-            "fb2": jnp.asarray(np.ascontiguousarray(self.fb2)),
+            key: jnp.asarray(fb),
             "fb2_base": jnp.asarray(self.base),
             "F": jnp.asarray(self.F.astype(np.int64)),
         }

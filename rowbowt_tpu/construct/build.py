@@ -97,6 +97,41 @@ def build_fblock(codes: np.ndarray, A: int) -> np.ndarray:
     return fb
 
 
+FB64_BLOCK = 64
+FB64_WORDS = FB64_BLOCK // 8  # 8 packed uint32 words per row
+FB64_ROW = FB_CKPT + FB64_WORDS  # 16 int32 lanes = 64 bytes per 64 symbols
+# Above this n the 96B-row fblock working set falls out of cache and HBM row
+# gathers pay per-transaction, not per-byte: halving the row to 64B raises the
+# gather rate itself (1.29x end-to-end count at n=160M despite a LARGER table
+# -- tools/fblock_probe.py part3, DESIGN.md "chr-scale gather ceiling").
+# Below it the 6 MB 96B table is cache-resident and smaller wins.
+FB64_MIN_N = 32_000_000
+
+
+def fblock_to_fb64(fb: np.ndarray, n: int) -> np.ndarray:
+    """Repack 128-symbol/96B fblock rows into 64-symbol/64B rows.
+
+    int32[2*nb, 16] rows of [8 exclusive occ checkpoints | 8 packed words].
+    Each source row splits in two: the even child keeps the parent checkpoint;
+    the odd child adds the per-char count of the first 64 symbols (SWAR nibble
+    match + popcount, no unpacking).  Pure layout change -- same contract as
+    build_fblock, checked row-exact in tests/test_backends.py.
+    """
+    nb = fb.shape[0]
+    words = fb[:, FB_CKPT:].view(np.uint32)  # [nb, 16]
+    lo_half = words[:, :FB64_WORDS]  # first 64 symbols of each 128-block
+    fb64 = np.zeros((2 * nb, FB64_ROW), dtype=np.int32)
+    low = np.uint32(0x11111111)
+    for c in range(FB_CKPT):
+        x = lo_half ^ (np.uint32(c) * low)
+        t = x | (x >> np.uint32(1)) | (x >> np.uint32(2)) | (x >> np.uint32(3))
+        half_cnt = np.bitwise_count((~t) & low).sum(axis=1, dtype=np.int32)
+        fb64[0::2, c] = fb[:, c]
+        fb64[1::2, c] = fb[:, c] + half_cnt
+    fb64[:, FB_CKPT:] = words.reshape(2 * nb, FB64_WORDS).view(np.int32)
+    return fb64
+
+
 # NOTE: a run-jump LF table (J=10 chained LF steps per gathered row, with
 # host-side repair of lanes leaving the single-run regime) was built and
 # benchmarked in round 1 and DELETED: on TPU v5e the host repair round-trips

@@ -72,14 +72,25 @@ class DeviceIndex:
         dense LF backend (occ1/fblock/bwt4) plus kval+phi1 cover every engine
         path; keeps run_start/samples_last (cheap, R-sized)."""
         assert ("occ1_flat" in self.arrays or "fblock" in self.arrays
-                or "bwt4" in self.arrays)
+                or "fblock64" in self.arrays or "bwt4" in self.arrays)
         arrs = {k: v for k, v in self.arrays.items() if k not in self._LEAN_DROP}
         return DeviceIndex(arrs, self.n, self.R, self.A, self.ma_wsize,
                            self.ftab_k, self.acgt_codes)
 
     @staticmethod
-    def from_index(idx: RbtIndex, device=None) -> "DeviceIndex":
-        arrs = {k: jnp.asarray(v) for k, v in idx.device_arrays().items()}
+    def from_index(idx: RbtIndex, device=None, fb64: bool | None = None) -> "DeviceIndex":
+        """fb64=None picks the fblock row width by index size: 64B rows above
+        FB64_MIN_N (out-of-cache row gathers pay per-transaction — 1.29x at
+        n=160M), 96B below (cache-resident, smaller wins).  The on-disk
+        artifact always stores the 96B layout; the repack is load-time only."""
+        arrs_np = dict(idx.device_arrays())
+        if fb64 is None:
+            from rowbowt_tpu.construct.build import FB64_MIN_N
+            fb64 = "fblock" in arrs_np and idx.n >= FB64_MIN_N
+        if fb64 and "fblock" in arrs_np:
+            from rowbowt_tpu.construct.build import fblock_to_fb64
+            arrs_np["fblock64"] = fblock_to_fb64(arrs_np.pop("fblock"), idx.n)
+        arrs = {k: jnp.asarray(v) for k, v in arrs_np.items()}
         if device is not None:
             arrs = {k: jax.device_put(v, device) for k, v in arrs.items()}
         acgt_np = idx.alpha.encode(np.frombuffer(b"ACGT", dtype=np.uint8))

@@ -90,8 +90,10 @@ _NIB_LOW = 0x11111111
 def _fb_rank_from_rows(row, off, c):
     """rank within one gathered fblock row: checkpoint select + SWAR popcount.
 
-    row [B, 24] int32, off [B] symbol offset in block, c [B] code in [0, 8).
+    row [B, 8+nw] int32 (nw packed words: 16 for the 128-sym/96B layout, 8 for
+    the 64-sym/64B one), off [B] symbol offset in block, c [B] code in [0, 8).
     """
+    nw = row.shape[1] - _FB_CKPT
     sel = jnp.arange(_FB_CKPT, dtype=jnp.int32)[None, :] == c[:, None].astype(jnp.int32)
     occ = jnp.sum(jnp.where(sel, row[:, :_FB_CKPT], 0), axis=1)
     words = jax.lax.bitcast_convert_type(row[:, _FB_CKPT:], jnp.uint32)
@@ -100,7 +102,7 @@ def _fb_rank_from_rows(row, off, c):
     t = x | (x >> 1) | (x >> 2) | (x >> 3)
     match = (~t) & _NIB_LOW  # bit 4j set where nibble j == c
     # word w covers symbols [8w, 8w+8); keep nibbles below off
-    kn = jnp.clip(off[:, None] - 8 * jnp.arange(_FB_WORDS, dtype=off.dtype)[None, :], 0, 8)
+    kn = jnp.clip(off[:, None] - 8 * jnp.arange(nw, dtype=off.dtype)[None, :], 0, 8)
     mask = jnp.where(kn >= 8, jnp.uint32(0xFFFFFFFF),
                      (jnp.uint32(1) << (4 * kn.astype(jnp.uint32))) - 1)
     inblk = jnp.sum(jax.lax.population_count(match & mask), axis=1)
@@ -122,7 +124,38 @@ def rank_fblock(dx: DeviceIndex, i, c):
     return jnp.where(c < 0, 0, v)
 
 
-def rank_fblock2(dx: DeviceIndex, i, c):
+def rank_fblock64(dx: DeviceIndex, i, c):
+    """64-symbol/64B-row fused-block rank — the large-index layout.
+
+    Same contract as rank_fblock, half the bytes per row gather: above the
+    cache regime HBM row gathers pay per-transaction, so the smaller row is
+    1.29x faster end to end at n=160M even though the table is LARGER
+    (1.0 vs 0.75 B/symbol) — tools/fblock_probe.py part3, DESIGN.md."""
+    arr = dx.arrays
+    isafe = jnp.minimum(i, dx.n - 1)
+    blk = (isafe >> 6).astype(jnp.int32)
+    off = isafe & 63
+    row = arr["fblock64"][blk]  # [B, 16]
+    csafe = jnp.maximum(c, 0)
+    v = _fb_rank_from_rows(row, off, csafe).astype(i.dtype)
+    total = dx.arrays["F"][csafe + 1] - dx.arrays["F"][csafe]
+    v = jnp.where(i >= dx.n, total, v)
+    return jnp.where(c < 0, 0, v)
+
+
+def lf_step_fblock64(dx: DeviceIndex, lo, hi, c):
+    """Batched LF over the 64B-row fused-block table."""
+    c_before = rank_fblock64(dx, lo, c)
+    c_inside = rank_fblock64(dx, hi + 1, c) - c_before
+    nlo = _f_onehot(dx, c).astype(lo.dtype) + c_before
+    nhi = nlo + c_inside - 1
+    empty = (c_inside <= 0) | (c < 0)
+    one = jnp.ones((), dtype=nlo.dtype)
+    zero = jnp.zeros((), dtype=nlo.dtype)
+    return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
+
+
+def rank_fblock2(dx: DeviceIndex, i, c, key: str = "fb2", shift: int = 7):
     """Two-level fused-block rank — the single-chip n >= 2^31 path.
 
     fb2 int32[nb_pad, 24] rows whose 8 checkpoint lanes are SUPERBLOCK-local
@@ -130,16 +163,20 @@ def rank_fblock2(dx: DeviceIndex, i, c):
     overflow); fb2_base int64[n_sup, 8] carries the global count before each
     superblock (the u64 contract of toehold_sa.hpp:133-155).  Lanes i are
     int64; the row gather index is int32 (nb < 2^31 up to n = 2^38).
-    rank = base[superblock_of(i), c] + local checkpoint + in-block popcount."""
+    rank = base[superblock_of(i), c] + local checkpoint + in-block popcount.
+
+    (key="fb2_64", shift=6) is the 64-symbol/64B-row repack — same contract,
+    half the bytes per row gather (the winning layout out of cache,
+    tools/fblock_probe.py part3)."""
     arr = dx.arrays
-    fb2 = arr["fb2"]
+    fb2 = arr[key]
     base = arr["fb2_base"]
     per_blk = fb2.shape[0] // base.shape[0]
     csafe = jnp.maximum(c, 0)
     isafe = jnp.minimum(i, dx.n - 1)
-    blk = (isafe >> 7).astype(jnp.int32)
-    off = (isafe & (_DB - 1)).astype(jnp.int32)
-    row = fb2[blk]  # [B, 24] int32
+    blk = (isafe >> shift).astype(jnp.int32)
+    off = (isafe & ((1 << shift) - 1)).astype(jnp.int32)
+    row = fb2[blk]  # [B, 8+nw] int32
     v32 = _fb_rank_from_rows(row, off, csafe.astype(jnp.int32))
     sel = jnp.arange(_FB_CKPT, dtype=jnp.int32)[None, :] == (
         csafe[:, None].astype(jnp.int32))
@@ -152,8 +189,9 @@ def rank_fblock2(dx: DeviceIndex, i, c):
 
 def lf_step_fblock2(dx: DeviceIndex, lo, hi, c):
     """Batched LF over the two-level table: int64 range arithmetic."""
-    c_before = rank_fblock2(dx, lo, c)
-    c_inside = rank_fblock2(dx, hi + 1, c) - c_before
+    key, shift = ("fb2_64", 6) if "fb2_64" in dx.arrays else ("fb2", 7)
+    c_before = rank_fblock2(dx, lo, c, key, shift)
+    c_inside = rank_fblock2(dx, hi + 1, c, key, shift) - c_before
     nlo = _f_onehot(dx, c).astype(lo.dtype) + c_before
     nhi = nlo + c_inside - 1
     empty = (c_inside <= 0) | (c < 0)
@@ -223,10 +261,13 @@ def lf_step_auto(dx: DeviceIndex):
     engines).  fblock first: on TPU v5e hardware 2 row gathers + SWAR beat
     occ1's 2 elem gathers 2.7x at n=8M (930k vs 347k reads/s, B=131k —
     tools/fblock_probe.py) because the row table is 37x smaller; at chr scale
-    occ1 cannot exist at all."""
+    occ1 cannot exist at all.  fblock64 (64B rows) is chosen at DeviceIndex
+    load for n >= FB64_MIN_N, where the smaller row gather wins 1.29x."""
+    if "fblock64" in dx.arrays:
+        return lf_step_fblock64
     if "fblock" in dx.arrays:
         return lf_step_fblock
-    if "fb2" in dx.arrays:
+    if "fb2" in dx.arrays or "fb2_64" in dx.arrays:
         return lf_step_fblock2
     if "occ1_flat" in dx.arrays:
         return lf_step_occ1

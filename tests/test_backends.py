@@ -62,6 +62,49 @@ def test_rank_backends_pointwise(text):
     assert (np.asarray(R.rank_occ1(dx, i, c)) == base).all()
 
 
+def test_rank_fblock64_parity(text):
+    """The 64-symbol/64B-row repack (fblock_to_fb64) == rank_fblock on random
+    (i, c) incl. the i == n and c < 0 edges, and the repacked rows are exact:
+    even children keep the parent checkpoint, odd add the first-half counts."""
+    import jax.numpy as jnp
+
+    from rowbowt_tpu.construct.build import fblock_to_fb64
+    from rowbowt_tpu.ops import rank as R
+
+    idx = build_index(text)
+    dx = DeviceIndex.from_index(idx)
+    fb64 = fblock_to_fb64(idx.fblock, idx.n)
+    assert fb64.shape == (2 * idx.fblock.shape[0], 16)
+    # oracle checkpoints from the code sequence
+    codes = _bwt_codes(idx)
+    pad = np.full((-len(codes)) % 64, 15, dtype=np.int64)
+    pc = np.concatenate([codes, pad]).reshape(-1, 64)
+    for c in range(idx.A):
+        exp = np.concatenate([[0], np.cumsum((pc == c).sum(axis=1))[:-1]])
+        assert (fb64[: len(exp), c] == exp).all()
+    dx.arrays["fblock64"] = jnp.asarray(fb64)
+    rng = np.random.default_rng(7)
+    i = jnp.asarray(rng.integers(0, idx.n + 1, size=2048, dtype=np.int32))
+    c = jnp.asarray(rng.integers(-1, idx.A, size=2048, dtype=np.int32))
+    assert (np.asarray(R.rank_fblock64(dx, i, c))
+            == np.asarray(R.rank_fblock(dx, i, c))).all()
+
+
+def test_fb64_full_engine_agreement(text, reads):
+    """A forced-fb64 DeviceIndex drives every engine path identically: the
+    layout choice is invisible above lf_step_auto."""
+    idx = build_index(text)
+    dx96 = DeviceIndex.from_index(idx, fb64=False)
+    dx64 = DeviceIndex.from_index(idx, fb64=True)
+    assert "fblock64" in dx64.arrays and "fblock" not in dx64.arrays
+    qc, lens = encode_batch(idx, reads)
+    for a, b in zip(find_ranges(dx96, qc, lens), find_ranges(dx64, qc, lens)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    for a, b in zip(find_ranges_w_toehold(dx96, qc, lens),
+                    find_ranges_w_toehold(dx64, qc, lens)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def _bwt_codes(idx):
     ends = np.append(idx.run_start[1:], idx.n)
     return np.repeat(idx.run_head.astype(np.int64), ends - idx.run_start)

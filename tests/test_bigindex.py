@@ -32,6 +32,11 @@ def test_bigindex_count_matches_naive(rand_index):
     lo, hi = find_ranges(dx, qc, lens)
     lo, hi = np.asarray(lo), np.asarray(hi)
     assert lo.dtype == np.int64
+    # default is the 64B-row repack; the 96B layout must agree lane-exact
+    assert "fb2_64" in dx.arrays
+    dx96 = big.device_index(fb64=False)
+    lo96, hi96 = map(np.asarray, find_ranges(dx96, qc, lens))
+    assert (lo96 == lo).all() and (hi96 == hi).all()
     for b, r in enumerate(reads):
         codes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
         assert (lo[b], hi[b]) == naive.find_range(idx, codes), (b, r)
