@@ -100,12 +100,14 @@ def build_fblock(codes: np.ndarray, A: int) -> np.ndarray:
 FB64_BLOCK = 64
 FB64_WORDS = FB64_BLOCK // 8  # 8 packed uint32 words per row
 FB64_ROW = FB_CKPT + FB64_WORDS  # 16 int32 lanes = 64 bytes per 64 symbols
-# Above this n the 96B-row fblock working set falls out of cache and HBM row
-# gathers pay per-transaction, not per-byte: halving the row to 64B raises the
-# gather rate itself (1.29x end-to-end count at n=160M despite a LARGER table
-# -- tools/fblock_probe.py part3, DESIGN.md "chr-scale gather ceiling").
-# Below it the 6 MB 96B table is cache-resident and smaller wins.
-FB64_MIN_N = 32_000_000
+# Row gathers pay per-transaction, not per-byte: halving the row from 96B to
+# 64B raises the gather rate itself at EVERY scale measured on v5e hardware --
+# 1.51x end-to-end count at n=8M (1.81M vs 1.20M reads/s) and 1.33x at n=160M
+# (227k vs 170k), identical checksums (tools/fblock_probe.py part3 + the
+# round-3 A/B, DESIGN.md "chr-scale gather ceiling").  The 64B repack is
+# therefore the universal device layout; the threshold exists only as an
+# escape hatch (set above any n to force the 96B rows).
+FB64_MIN_N = 0
 
 
 def fblock_to_fb64(fb: np.ndarray, n: int) -> np.ndarray:

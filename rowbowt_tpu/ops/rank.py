@@ -125,12 +125,13 @@ def rank_fblock(dx: DeviceIndex, i, c):
 
 
 def rank_fblock64(dx: DeviceIndex, i, c):
-    """64-symbol/64B-row fused-block rank — the large-index layout.
+    """64-symbol/64B-row fused-block rank — the default device layout.
 
-    Same contract as rank_fblock, half the bytes per row gather: above the
-    cache regime HBM row gathers pay per-transaction, so the smaller row is
-    1.29x faster end to end at n=160M even though the table is LARGER
-    (1.0 vs 0.75 B/symbol) — tools/fblock_probe.py part3, DESIGN.md."""
+    Same contract as rank_fblock, half the bytes per row gather: HBM row
+    gathers pay per-transaction, so the smaller row is faster end to end at
+    every measured scale (1.51x at n=8M, 1.33x at n=160M) even though the
+    table is LARGER (1.0 vs 0.75 B/symbol) — tools/fblock_probe.py part3 +
+    the round-3 hardware A/B, DESIGN.md."""
     arr = dx.arrays
     isafe = jnp.minimum(i, dx.n - 1)
     blk = (isafe >> 6).astype(jnp.int32)
@@ -261,8 +262,9 @@ def lf_step_auto(dx: DeviceIndex):
     engines).  fblock first: on TPU v5e hardware 2 row gathers + SWAR beat
     occ1's 2 elem gathers 2.7x at n=8M (930k vs 347k reads/s, B=131k —
     tools/fblock_probe.py) because the row table is 37x smaller; at chr scale
-    occ1 cannot exist at all.  fblock64 (64B rows) is chosen at DeviceIndex
-    load for n >= FB64_MIN_N, where the smaller row gather wins 1.29x."""
+    occ1 cannot exist at all.  fblock64 (64B rows) is the default DeviceIndex
+    load layout: row gathers pay per-transaction, so the smaller row wins at
+    every measured scale (1.51x at n=8M, 1.33x at n=160M on v5e)."""
     if "fblock64" in dx.arrays:
         return lf_step_fblock64
     if "fblock" in dx.arrays:

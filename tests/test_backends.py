@@ -43,7 +43,7 @@ def test_rank_backends_pointwise(text):
 
     idx = build_index(text)
     assert idx.fblock is not None
-    dx = DeviceIndex.from_index(idx)
+    dx = DeviceIndex.from_index(idx, fb64=False)  # keep the raw 96B rows addressable
     # fblock replaces occ1 and the split pair in panel builds; synthesize both
     # so every rank backend is exercised against the run-space oracle
     codes = _bwt_codes(idx)
@@ -72,7 +72,7 @@ def test_rank_fblock64_parity(text):
     from rowbowt_tpu.ops import rank as R
 
     idx = build_index(text)
-    dx = DeviceIndex.from_index(idx)
+    dx = DeviceIndex.from_index(idx, fb64=False)
     fb64 = fblock_to_fb64(idx.fblock, idx.n)
     assert fb64.shape == (2 * idx.fblock.shape[0], 16)
     # oracle checkpoints from the code sequence
@@ -148,7 +148,7 @@ def test_pallas_lf_interpret_parity(text, reads):
     from rowbowt_tpu.ops import pallas_lf
 
     idx = build_index(text)
-    dx = DeviceIndex.from_index(idx)
+    dx = DeviceIndex.from_index(idx, fb64=False)  # the pallas kernel reads the 96B rows
     qc, lens = encode_batch(idx, reads)
     pad = (-len(reads)) % 8
     qc = np.concatenate([qc, np.full((pad, qc.shape[1]), -1, qc.dtype)])
