@@ -42,6 +42,7 @@ class BigIndex:
     A: int
     per_blk: int  # fb rows per superblock
     alpha: Alphabet
+    prefix: str | None = None  # load dir; enables the fb2_64 repack cache
 
     @property
     def n_sup(self) -> int:
@@ -90,6 +91,7 @@ class BigIndex:
             F=np.load(os.path.join(prefix, "F.npy")),
             n=int(meta["n"]), A=int(meta["A"]), per_blk=int(meta["per_blk"]),
             alpha=Alphabet(np.array(meta["alpha_bytes"], dtype=np.uint8)),
+            prefix=prefix,
         )
 
     # ---------------- engine views ----------------
@@ -108,7 +110,15 @@ class BigIndex:
 
         if fb64:
             from rowbowt_tpu.construct.build import fblock_to_fb64
-            key, fb = "fb2_64", fblock_to_fb64(np.asarray(self.fb2), self.n)
+            key = "fb2_64"
+            cache = (os.path.join(self.prefix, "fb2_64.npy")
+                     if self.prefix else None)
+            if cache and os.path.exists(cache):
+                fb = np.load(cache, mmap_mode="r")
+            else:
+                fb = fblock_to_fb64(np.asarray(self.fb2), self.n)
+                if cache:
+                    np.save(cache, fb)
         else:
             key, fb = "fb2", np.ascontiguousarray(self.fb2)
         arrs = {

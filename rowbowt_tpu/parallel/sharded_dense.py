@@ -152,11 +152,21 @@ class ShardedDenseIndex:
             ma_wsize=idx.ma_wsize,
         )
 
-    def device_put(self, mesh: Mesh) -> dict:
+    def device_put(self, mesh: Mesh, fb64: bool = True) -> dict:
+        """fb64=True (default) repacks each shard's rows to the 64-symbol/64B
+        layout before placement — checkpoints are shard-local either way, so
+        the repack is row-wise identical to the replicated path's
+        (fblock_to_fb64; 1.51x/1.33x measured on hardware, DESIGN.md)."""
+        fb3 = self.fb3
+        if fb64:
+            from rowbowt_tpu.construct.build import FB64_ROW, fblock_to_fb64
+            fb3 = fblock_to_fb64(
+                np.asarray(fb3).reshape(-1, FB_ROW), self.n,
+            ).reshape(self.n_idx, 2 * self.per_blk, FB64_ROW)
         sh = NamedSharding(mesh, P("idx"))
         rep = NamedSharding(mesh, P())
         d = {
-            "fb3": jax.device_put(self.fb3, NamedSharding(mesh, P("idx", None, None))),
+            "fb3": jax.device_put(fb3, NamedSharding(mesh, P("idx", None, None))),
             "base": jax.device_put(self.base, rep),
             "F": jax.device_put(self.F, rep),
         }
@@ -179,10 +189,14 @@ def _specs(tables):
 
 
 def _mk_rank(sdx: ShardedDenseIndex, tb):
-    """Shard-local fused-block rank closure (call inside shard_map)."""
+    """Shard-local fused-block rank closure (call inside shard_map).
+
+    Row width/count come from the placed array, so both the 96B (16-word)
+    and 64B (8-word, device_put default) layouts run the same code."""
     my = jax.lax.axis_index("idx")
     fb_loc = tb["fb3"][0] if tb["fb3"].ndim == 3 else tb["fb3"]
-    per_blk = sdx.per_blk
+    per_blk = fb_loc.shape[0]  # rows per shard in the PLACED layout
+    shift = 7 if fb_loc.shape[1] == FB_ROW else 6
     n = sdx.n
     F_ = tb["F"]
     base8 = tb["base"][my]  # [8] global count before this shard
@@ -190,11 +204,11 @@ def _mk_rank(sdx: ShardedDenseIndex, tb):
     def rank(i, c):
         csafe = jnp.maximum(c, 0)
         isafe = jnp.minimum(i, n - 1)
-        blk = isafe >> 7
+        blk = isafe >> shift
         lblk = blk - my * per_blk
         owner = (lblk >= 0) & (lblk < per_blk)
         row = fb_loc[jnp.clip(lblk, 0, per_blk - 1)]
-        v = _fb_rank_from_rows(row, isafe & (DENSE_BLOCK - 1), csafe)
+        v = _fb_rank_from_rows(row, isafe & ((1 << shift) - 1), csafe)
         sel = jnp.arange(FB_CKPT, dtype=jnp.int32)[None, :] == csafe[:, None].astype(jnp.int32)
         # widen the int32 local rank to the LANE dtype before adding the int64
         # global base — never narrow the base (it holds counts >= 2^31 on a

@@ -133,8 +133,13 @@ def test_sharded_dense_count_toehold_locate(rand_index):
     mesh = make_mesh(n_dp=2, n_idx=4)
     sdx = ShardedDenseIndex.build(idx, n_idx=4)
     tables = sdx.device_put(mesh)
+    assert tables["fb3"].shape[2] == 16  # 64B rows are the placed default
     qc, lens = encode_batch(idx, reads)
     lo, hi = find_ranges_sharded_dense(mesh, sdx, tables, qc, lens)
+    # the legacy 96B placement must count identically
+    t96 = sdx.device_put(mesh, fb64=False)
+    lo96, hi96 = map(np.asarray, find_ranges_sharded_dense(mesh, sdx, t96, qc, lens))
+    assert (lo96 == np.asarray(lo)).all() and (hi96 == np.asarray(hi)).all()
     tlo, thi, k = find_ranges_w_toehold_sharded_dense(mesh, sdx, tables, qc, lens)
     locs, cnt = locate_sharded_dense(mesh, sdx, tables, tlo, thi, k, max_hits=6)
     lo, hi, tlo, thi, k, locs, cnt = map(
