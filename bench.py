@@ -290,6 +290,35 @@ def run_config(name: str) -> dict:
     _emit(out)
 
     if name == "chr":
+        # ---- UNBOUNDED locate (rb_align -s contract: stream every occurrence,
+        # toehold_sa.hpp:37-49) through the ragged bucketed walk.  Mixed range
+        # sizes on purpose: mostly 100 bp reads (~8 hits each) plus truncated
+        # 8 bp / 6 bp lanes whose ranges run 10^3-10^4+ occurrences — the
+        # regime where per-bucket jit specializations + host round-trips could
+        # bite (VERDICT r2 weak #6).
+        from rowbowt_tpu.engine.locate import locate_ragged
+
+        UB = 8192
+        ulens = np.full(UB, READ_LEN, dtype=np.int32)
+        ulens[:32] = 8     # ~n/4^8  ~ 2.4k hits/lane
+        ulens[32:48] = 6   # ~n/4^6  ~ 39k hits/lane
+        uq = jnp.asarray(qcodes[:UB])
+        ul = jnp.asarray(ulens)
+        ulo, uhi, uk = jax.jit(find_ranges_w_toehold)(dx, uq, ul)
+        ulo, uhi, uk = np.asarray(ulo), np.asarray(uhi), np.asarray(uk)
+        flat, offs = locate_ragged(dx, ulo, uhi, uk)  # warm bucket jits
+        tu = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            flat, offs = locate_ragged(dx, ulo, uhi, uk)
+            tu = min(tu, time.perf_counter() - t0)
+        hits = int(offs[-1])
+        out["locate_unbounded_reads_per_s_chr"] = round(UB / tu, 1)
+        out["locate_unbounded_hits_per_s_chr"] = round(hits / tu, 0)
+        print(f"bench[chr]: UNBOUNDED locate {UB/tu:,.0f} reads/s "
+              f"({hits:,} occs, {hits/tu/1e6:,.2f} M occs/s)", file=sys.stderr)
+        _emit(out)
+
         # config-4 proper: LONG reads (2 kb, 1% errors) greedy-seeded against
         # the chr-scale index (BASELINE.md config 4 / tests/greedy_seeding)
         LB, LL = 8192, 2000
