@@ -109,6 +109,13 @@ FB64_ROW = FB_CKPT + FB64_WORDS  # 16 int32 lanes = 64 bytes per 64 symbols
 # escape hatch (set above any n to force the 96B rows).
 FB64_MIN_N = 0
 
+# Below this n a DeviceIndex keeps BOTH row layouts resident (0.75 + 1.0
+# B/symbol — 14 MB at n=8M): the pure LF loops (count/locate/markers) run on
+# the 64B rows, but the greedy-seeding loop prefers the 96B rows in this
+# regime (152k vs 113k reads/s at n=8M on v5e) and only flips to 64B out of
+# cache (48.0k vs 41.9k at n=160M) — lf_step_auto(prefer_fb96=True).
+FB96_KEEP_MAX_N = 32_000_000
+
 
 def fblock_to_fb64(fb: np.ndarray, n: int) -> np.ndarray:
     """Repack 128-symbol/96B fblock rows into 64-symbol/64B rows.

@@ -85,12 +85,19 @@ class DeviceIndex:
         on-disk artifact always stores the denser 96B layout; the repack is
         load-time only.  fb64=False forces the 96B rows (tests/diagnostics)."""
         arrs_np = dict(idx.device_arrays())
+        keep_both = False
         if fb64 is None:
-            from rowbowt_tpu.construct.build import FB64_MIN_N
+            from rowbowt_tpu.construct.build import FB64_MIN_N, FB96_KEEP_MAX_N
             fb64 = "fblock" in arrs_np and idx.n >= FB64_MIN_N
+            # default policy: small indexes keep BOTH layouts — the greedy
+            # loop prefers the 96B rows in-cache (lf_step_auto with
+            # prefer_fb96=True), the pure LF loops take the 64B rows.
+            # Explicit fb64=True/False forces a single layout (diagnostics).
+            keep_both = fb64 and idx.n < FB96_KEEP_MAX_N
         if fb64 and "fblock" in arrs_np:
             from rowbowt_tpu.construct.build import fblock_to_fb64
-            arrs_np["fblock64"] = fblock_to_fb64(arrs_np.pop("fblock"), idx.n)
+            fb96 = arrs_np["fblock"] if keep_both else arrs_np.pop("fblock")
+            arrs_np["fblock64"] = fblock_to_fb64(np.asarray(fb96), idx.n)
         arrs = {k: jnp.asarray(v) for k, v in arrs_np.items()}
         if device is not None:
             arrs = {k: jax.device_put(v, device) for k, v in arrs.items()}

@@ -61,7 +61,7 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
     ns = jnp.zeros(B, dtype=dt)
     defer_k = "kval" in dx.arrays  # ssamp == SA[recorded hi]: one gather at the end
     if defer_k:
-        plain = R.lf_step_auto(dx)
+        plain = R.lf_step_auto(dx, prefer_fb96=True)
 
         def step(dx_, lo_, hi_, c_, k_):
             nlo, nhi = plain(dx_, lo_, hi_, c_)
@@ -218,7 +218,10 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     qflat = qcodes.reshape(-1).astype(dt)  # row-major [B*L]: lane b col j at b*L+j
     lane_base = (jnp.arange(B, dtype=dt) * L)
 
-    lf = R.lf_step_auto(dx)
+    # the greedy loop interleaves LF with marker probes + slot records;
+    # in-cache it prefers the 96B rows (152k vs 113k reads/s at n=8M),
+    # out of cache the 64B rows win — lf_step_auto resolves per-index
+    lf = R.lf_step_auto(dx, prefer_fb96=True)
     # ftab-restart REPLAY state: instead of re-gathering a [B, k] query window
     # every step (10x the loop's gather traffic — 5.4x slower end to end on
     # v5e), a restart-hit lane consumes the kmer's k chars one LF step at a
@@ -426,7 +429,7 @@ def markers_lmem_lanes(dx: DeviceIndex, qcodes, lengths, wsize: int,
     qflat = qcodes.reshape(-1).astype(dt)  # row-major [B*L]: lane b col j at b*L+j
     lane_base = (jnp.arange(B, dtype=dt) * L)
 
-    lf = R.lf_step_auto(dx)
+    lf = R.lf_step_auto(dx, prefer_fb96=True)
 
     def record(tlo, thi, do, ws, wc, nrec):
         go = do & ((thi - tlo + 1) <= max_range)

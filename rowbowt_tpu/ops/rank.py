@@ -257,14 +257,23 @@ def lf_step_dense(dx: DeviceIndex, lo, hi, c):
     return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
 
 
-def lf_step_auto(dx: DeviceIndex):
+def lf_step_auto(dx: DeviceIndex, prefer_fb96: bool = False):
     """The fastest LF step the index's tables support (one if-chain for all
     engines).  fblock first: on TPU v5e hardware 2 row gathers + SWAR beat
     occ1's 2 elem gathers 2.7x at n=8M (930k vs 347k reads/s, B=131k —
     tools/fblock_probe.py) because the row table is 37x smaller; at chr scale
     occ1 cannot exist at all.  fblock64 (64B rows) is the default DeviceIndex
     load layout: row gathers pay per-transaction, so the smaller row wins at
-    every measured scale (1.51x at n=8M, 1.33x at n=160M on v5e)."""
+    every measured scale for the pure LF loops (1.51x at n=8M, 1.33x at
+    n=160M on v5e).
+
+    prefer_fb96=True picks the 96B rows when BOTH layouts are resident (small
+    indexes keep both, engine/device.py): the greedy-seeding loop — LF
+    interleaved with marker probes and slot records — measured 152k reads/s
+    on 96B rows vs 113k on 64B at n=8M while the same loop prefers 64B 1.14x
+    at n=160M (hardware A/B, DESIGN.md "per-engine row layout")."""
+    if prefer_fb96 and "fblock" in dx.arrays:
+        return lf_step_fblock
     if "fblock64" in dx.arrays:
         return lf_step_fblock64
     if "fblock" in dx.arrays:

@@ -105,6 +105,28 @@ def test_fb64_full_engine_agreement(text, reads):
         assert (np.asarray(a) == np.asarray(b)).all()
 
 
+def test_dual_layout_default_and_greedy_parity(tiny_index_ftab, reads):
+    """The default load keeps BOTH row layouts below FB96_KEEP_MAX_N; the
+    greedy engine (prefer_fb96) must return buffer-identical results on the
+    dual-layout index and on each single-layout index."""
+    from rowbowt_tpu.construct.build import FB96_KEEP_MAX_N
+    from rowbowt_tpu.engine.seeds import markers_greedy_seeding
+
+    idx = tiny_index_ftab
+    assert idx.n < FB96_KEEP_MAX_N
+    dxd = DeviceIndex.from_index(idx)  # default: dual layout
+    assert "fblock64" in dxd.arrays and "fblock" in dxd.arrays
+    qc, lens = encode_batch(idx, reads)
+    outs = []
+    for dx in (dxd, DeviceIndex.from_index(idx, fb64=True),
+               DeviceIndex.from_index(idx, fb64=False)):
+        outs.append(markers_greedy_seeding(dx, qc, lens, wsize=4,
+                                           max_range=50, max_seeds=4, max_k=8))
+    for o in outs[1:]:
+        for a, b in zip(outs[0], o):
+            assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def _bwt_codes(idx):
     ends = np.append(idx.run_start[1:], idx.n)
     return np.repeat(idx.run_head.astype(np.int64), ends - idx.run_start)

@@ -33,6 +33,9 @@ B = 512  # parity batch; throughput is not the point on a CPU mesh
 
 def main():
     import jax
+    # this image's sitecustomize force-registers the axon TPU platform ahead
+    # of the env var; override so the probe runs on the 8-device virtual mesh
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from rowbowt_tpu.bigindex import BigIndex
