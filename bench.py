@@ -227,6 +227,8 @@ def run_config(name: str) -> dict:
     # ---- locate (toehold + phi walk) ----
     from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
 
+    frt_jit = jax.jit(find_ranges_w_toehold)  # shared; avoid per-site re-jit
+
     # secondary metrics run one 131k-lane batch (2 count-batches concatenated)
     qb = jnp.concatenate([qc3[0], qc3[1]])
     lb = jnp.concatenate([len2[0], len2[1]])
@@ -304,7 +306,7 @@ def run_config(name: str) -> dict:
         ulens[32:48] = 6   # ~n/4^6  ~ 39k hits/lane
         uq = jnp.asarray(qcodes[:UB])
         ul = jnp.asarray(ulens)
-        ulo, uhi, uk = jax.jit(find_ranges_w_toehold)(dx, uq, ul)
+        ulo, uhi, uk = frt_jit(dx, uq, ul)
         ulo, uhi, uk = np.asarray(ulo), np.asarray(uhi), np.asarray(uk)
         flat, offs = locate_ragged(dx, ulo, uhi, uk)  # warm bucket jits
         tu = float("inf")

@@ -120,8 +120,12 @@ def test_dual_layout_default_and_greedy_parity(tiny_index_ftab, reads):
     outs = []
     for dx in (dxd, DeviceIndex.from_index(idx, fb64=True),
                DeviceIndex.from_index(idx, fb64=False)):
+        # use_ftab=False: wsize=4 < ftab_k-1 trips the reference-mandated
+        # guard (rowbowt.hpp:423-426); the dual-layout property is about the
+        # rank backend, not ftab replay, so test the plain greedy path here.
         outs.append(markers_greedy_seeding(dx, qc, lens, wsize=4,
-                                           max_range=50, max_seeds=4, max_k=8))
+                                           max_range=50, max_seeds=4, max_k=8,
+                                           use_ftab=False))
     for o in outs[1:]:
         for a, b in zip(outs[0], o):
             assert (np.asarray(a) == np.asarray(b)).all()
