@@ -152,6 +152,20 @@ void rbt_interleave_i64(const i64* old, i64 N, const i64* ins, const i64* neu,
   if (N > src) std::memcpy(out + dst, old + src, (size_t)(N - src) * 8);
 }
 
+// uint32 variant: SA values for n < 2^32 (the u64 contract of
+// toehold_sa.hpp:133-155 packs into 4 bytes below 4.3G — halves the merge's
+// SA interleave traffic and the resident array at pangenome scale).
+void rbt_interleave_u32(const uint32_t* old, i64 N, const i64* ins,
+                        const uint32_t* neu, i64 m, uint32_t* out) {
+  i64 src = 0, dst = 0;
+  for (i64 r = 0; r < m; ++r) {
+    i64 gap = ins[r] - dst;
+    if (gap) { std::memcpy(out + dst, old + src, (size_t)gap * 4); src += gap; dst += gap; }
+    out[dst++] = neu[r];
+  }
+  if (N > src) std::memcpy(out + dst, old + src, (size_t)(N - src) * 4);
+}
+
 // Single-thread CPU count over the two-level fused-block tables (the same
 // arrays the n >= 2^31 device engine gathers; ops/rank.py rank_fblock2) —
 // the honest equivalent-work CPU baseline for the "big" bench config.

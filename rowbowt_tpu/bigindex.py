@@ -15,9 +15,24 @@ position-sharded multi-chip layout (parallel.sharded_dense.ShardedDenseIndex)
 when n_sup == n_idx, so one artifact serves both the single-chip and the
 sharded engines.
 
-Not stored: run tables, toehold SA, markers — this is the count-first artifact
-(BASELINE config 5's prerequisite); the sharded layout adds those from the
-full construction when present.
+Version 2 (round 4) adds the O(R)/O(M) auxiliary tables the reference serves
+at any n with u64 indices (toehold_sa.hpp:27-49,105-131, rowbowt.hpp:406-482):
+
+  run_start u32[R], samples_last u32[R]   run-boundary SA samples — the
+        .ssa/.esa role (toehold_sa.hpp:133-155) as dense sorted arrays;
+  pred_pos u32[~R], phi_at u32[~R]        the phi predecessor table
+        (ToeholdSA::build_phi role) as exact SA-adjacency breakpoints, for
+        the run-space phi walk (ops.rank.phi_step "phi_at" branch);
+  cruns_keys i32[R]                       run ids sorted by (head, id) packed
+        as head*R+id — "last c-run at or before r" is ONE searchsorted (the
+        toehold-postpass ltk resolve, engine/locate.py);
+  ma_row u32[M], ma_val i64[M]            the marker CSR (pfbwt-f MarkerArray
+        role) probed by two searchsorteds (ops.rank.markers_bounds).
+
+All row/position values pack into u32 below n = 2^32 (every config here);
+lanes stay int64 end to end (the reference's u64 contract).  Dense kval/phi1
+(8 B/position) cannot exist at this scale — these tables are the r-index
+proper: O(R + M) space, independent of n.
 """
 
 from __future__ import annotations
@@ -33,6 +48,103 @@ from rowbowt_tpu.alphabet import Alphabet
 _SUP_SYMS_MAX = 1 << 30  # superblock symbol span: int32 checkpoints with 2x margin
 
 
+def big_locate_tables(codes: np.ndarray, sa: np.ndarray,
+                      isa: np.ndarray | None = None,
+                      chunk: int = 1 << 26) -> dict[str, np.ndarray]:
+    """Run boundaries + O(R) run-space toehold/phi tables from the merged BWT
+    code sequence and the full SA (any dtype; values < n).
+
+    The phi table is built from EXACT SA-adjacency breakpoints — positions i
+    where phi(i) = SA[isa(i) - 1] stops advancing by +1 — rather than from
+    run-start samples.  The classic run-boundary reconstruction
+    (toehold_sa.hpp:105-131, construct.build.build_toehold_tables) is exact
+    for a whole-text BWT but the chunked merge's generalized document order
+    breaks phi linearity at the k document-initial rows (their stored BWT
+    char is the previous document's phantom, so LF is not SA[j]-1 there);
+    the adjacency-breakpoint table is exact for ANY permutation, same O(R)
+    size (#breakpoints ~ R + #docs).  phi(i) = phi_at[pred(i)] +
+    (i - pred_pos[pred(i)]) — ops.rank.phi_step's "phi_at" branch.
+
+    The chunked scans keep temporaries O(chunk) except the inverse SA
+    (4 B/position below 2^32; pass `isa` to share it with the marker build).
+
+    Conventions otherwise match construct.build.build_index: samples_last is
+    (SA[run_end] + n - 1) % n — the text position of the row's BWT char, the
+    value the reference stores (y-1 with 0 -> n-1, toehold_sa.hpp:133-155).
+    """
+    n = int(codes.shape[0])
+    parts = [np.zeros(1, dtype=np.int64)]
+    for lo in range(1, n, chunk):
+        hi = min(lo + chunk, n)
+        d = np.flatnonzero(codes[lo:hi] != codes[lo - 1:hi - 1])
+        parts.append(d + lo)
+    run_start = np.concatenate(parts)
+    R = int(run_start.shape[0])
+    run_head = codes[run_start].astype(np.uint8)
+    run_end = np.empty(R, dtype=np.int64)
+    run_end[:-1] = run_start[1:] - 1
+    run_end[-1] = n - 1
+
+    pos_dt = np.uint32 if n < (1 << 32) else np.int64
+    sl = (sa[run_end].astype(np.int64) + n - 1) % n
+    keys = run_head.astype(np.int64) * R + np.arange(R, dtype=np.int64)
+    order = np.argsort(run_head, kind="stable")
+    ck = keys[order]
+    key_dt = np.int32 if int(ck[-1]) < (1 << 31) else np.int64
+
+    if isa is None:
+        isa = np.empty(n, dtype=pos_dt)
+        isa[np.asarray(sa)] = np.arange(n, dtype=pos_dt)
+    bp_parts, val_parts = [], []
+    prev_tail = None  # phi value at the last position of the previous chunk
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        j = isa[lo:hi].astype(np.int64)
+        ph = np.asarray(sa)[(j - 1) % n].astype(np.int64)  # phi(i), i in [lo,hi)
+        d = np.flatnonzero(np.diff(ph) != 1) + 1
+        first_breaks = (lo == 0) or (ph[0] != prev_tail + 1)
+        if first_breaks:
+            d = np.concatenate(([0], d))
+        bp_parts.append(d + lo)
+        val_parts.append(ph[d])
+        prev_tail = int(ph[-1])
+    pred_pos = np.concatenate(bp_parts)
+    phi_at = np.concatenate(val_parts)
+    return {
+        "run_start": run_start.astype(pos_dt),
+        "run_head": run_head,
+        "samples_last": sl.astype(pos_dt),
+        "pred_pos": pred_pos.astype(pos_dt),
+        "phi_at": phi_at.astype(pos_dt),
+        "cruns_keys": ck.astype(key_dt),
+    }
+
+
+def big_marker_tables(sa: np.ndarray, marker_tpos: np.ndarray,
+                      marker_packed: np.ndarray, wsize: int, n: int,
+                      isa: np.ndarray | None = None):
+    """Marker CSR (ma_row sorted, ma_val) from the full SA: BWT row i carries
+    marker m iff SA[i] in [t-w+1, t] (the variant lies within the first w
+    characters of the suffix — same rule as construct.build.build_index).
+
+    Builds the full inverse SA once (4 B/position below 2^32) — at pangenome
+    scale that is one 9.6 GB transient, well under host RAM, and far cheaper
+    than per-position membership probes over the 2.4G-element SA."""
+    pos_dt = np.uint32 if n < (1 << 32) else np.int64
+    lo_p = np.maximum(marker_tpos.astype(np.int64) - wsize + 1, 0)
+    span = marker_tpos - lo_p + 1
+    off = np.repeat(np.cumsum(span) - span, span)
+    flat = np.arange(off.shape[0], dtype=np.int64) - off
+    ps = np.repeat(lo_p, span) + flat
+    vals = np.repeat(marker_packed, span)
+    if isa is None:
+        isa = np.empty(n, dtype=pos_dt)
+        isa[np.asarray(sa)] = np.arange(n, dtype=pos_dt)
+    rows = isa[ps].astype(np.int64)
+    srt = np.lexsort((vals, rows))
+    return rows[srt].astype(pos_dt), vals[srt]
+
+
 @dataclasses.dataclass
 class BigIndex:
     fb2: np.ndarray  # int32[nb_pad, 24]
@@ -43,10 +155,47 @@ class BigIndex:
     per_blk: int  # fb rows per superblock
     alpha: Alphabet
     prefix: str | None = None  # load dir; enables the fb2_64 repack cache
+    # v2 optional components (see module docstring)
+    run_start: np.ndarray | None = None
+    run_head: np.ndarray | None = None
+    samples_last: np.ndarray | None = None
+    pred_pos: np.ndarray | None = None
+    phi_at: np.ndarray | None = None
+    cruns_keys: np.ndarray | None = None
+    ma_row: np.ndarray | None = None
+    ma_val: np.ndarray | None = None
+    ma_wsize: int = 0
+    doc_starts: np.ndarray | None = None
+    doc_names: list[str] | None = None
 
     @property
     def n_sup(self) -> int:
         return self.base.shape[0]
+
+    @property
+    def R(self) -> int:
+        return 0 if self.run_start is None else int(self.run_start.shape[0])
+
+    @property
+    def has_locate(self) -> bool:
+        return self.samples_last is not None
+
+    @property
+    def has_markers(self) -> bool:
+        return self.ma_row is not None
+
+    def attach_locate(self, codes: np.ndarray, sa: np.ndarray,
+                      isa: np.ndarray | None = None) -> None:
+        for k, v in big_locate_tables(codes, sa, isa=isa).items():
+            setattr(self, k, v)
+
+    def attach_markers(self, sa: np.ndarray, marker_tpos, marker_packed,
+                       wsize: int, isa: np.ndarray | None = None) -> None:
+        self.ma_row, self.ma_val = big_marker_tables(
+            sa, np.asarray(marker_tpos, dtype=np.int64),
+            np.asarray(marker_packed, dtype=np.int64), wsize, self.n,
+            isa=isa)
+        self.ma_wsize = wsize
 
     @staticmethod
     def from_codes(codes: np.ndarray, alpha: Alphabet, n_sup: int | None = None,
@@ -70,44 +219,83 @@ class BigIndex:
 
     # ---------------- serialization (.npy so mmap load works) ----------------
 
+    _OPT = ("run_start", "run_head", "samples_last", "pred_pos",
+            "phi_at", "cruns_keys", "ma_row", "ma_val", "doc_starts")
+
     def save(self, prefix: str) -> None:
         os.makedirs(prefix, exist_ok=True)
         np.save(os.path.join(prefix, "fb2.npy"), self.fb2)
         np.save(os.path.join(prefix, "base.npy"), self.base)
         np.save(os.path.join(prefix, "F.npy"), self.F)
+        present = []
+        for k in self._OPT:
+            v = getattr(self, k)
+            if v is not None:
+                np.save(os.path.join(prefix, f"{k}.npy"), v)
+                present.append(k)
         with open(os.path.join(prefix, "meta.json"), "w") as f:
-            json.dump({"format": "rowbowt-tpu-bigindex", "version": 1,
+            json.dump({"format": "rowbowt-tpu-bigindex", "version": 2,
                        "n": self.n, "A": self.A, "per_blk": self.per_blk,
-                       "alpha_bytes": self.alpha.bytes_.tolist()}, f)
+                       "alpha_bytes": self.alpha.bytes_.tolist(),
+                       "optional": present, "ma_wsize": self.ma_wsize,
+                       "doc_names": self.doc_names}, f)
 
     @staticmethod
     def load(prefix: str, mmap: bool = True) -> "BigIndex":
         with open(os.path.join(prefix, "meta.json")) as f:
             meta = json.load(f)
         mm = "r" if mmap else None
-        return BigIndex(
+        big = BigIndex(
             fb2=np.load(os.path.join(prefix, "fb2.npy"), mmap_mode=mm),
             base=np.load(os.path.join(prefix, "base.npy")),
             F=np.load(os.path.join(prefix, "F.npy")),
             n=int(meta["n"]), A=int(meta["A"]), per_blk=int(meta["per_blk"]),
             alpha=Alphabet(np.array(meta["alpha_bytes"], dtype=np.uint8)),
             prefix=prefix,
+            ma_wsize=int(meta.get("ma_wsize", 0)),
+            doc_names=meta.get("doc_names"),
         )
+        for k in meta.get("optional", ()):
+            setattr(big, k, np.load(os.path.join(prefix, f"{k}.npy"),
+                                    mmap_mode=mm))
+        return big
+
+    @staticmethod
+    def is_big_dir(path: str) -> bool:
+        """True when `path` is a BigIndex directory (CLI auto-detect)."""
+        meta = os.path.join(path, "meta.json")
+        if not os.path.isdir(path) or not os.path.exists(meta):
+            return False
+        try:
+            with open(meta) as f:
+                return json.load(f).get("format") == "rowbowt-tpu-bigindex"
+        except (json.JSONDecodeError, OSError):
+            return False
 
     # ---------------- engine views ----------------
 
-    def device_index(self, device=None, fb64: bool = True):
+    def device_index(self, device=None, fb64: bool = True,
+                     with_locate: bool | None = None,
+                     with_markers: bool | None = None):
         """Single-chip DeviceIndex: count via ops.rank.lf_step_fblock2.
 
         fb64=True (default) repacks to 64-symbol/64B rows at load: a big
         index is by definition far out of cache, where the smaller row gather
         wins 1.29x (tools/fblock_probe.py part3).  Checkpoints stay
-        superblock-local so the repack arithmetic is unchanged."""
+        superblock-local so the repack arithmetic is unchanged.
+
+        with_locate / with_markers (default: whatever the artifact carries)
+        add the O(R) toehold/phi tables and the O(M) marker CSR — the
+        flag-gated partial load of the reference (rowbowt_io.hpp:146-189)."""
         import jax
         import jax.numpy as jnp
 
         from rowbowt_tpu.engine.device import DeviceIndex
 
+        if with_locate is None:
+            with_locate = self.has_locate
+        if with_markers is None:
+            with_markers = self.has_markers
         if fb64:
             from rowbowt_tpu.construct.build import fblock_to_fb64
             key = "fb2_64"
@@ -126,10 +314,28 @@ class BigIndex:
             "fb2_base": jnp.asarray(self.base),
             "F": jnp.asarray(self.F.astype(np.int64)),
         }
+        R = 0
+        if with_locate:
+            assert self.has_locate, "artifact stores no locate tables"
+            R = self.R
+            # big_run_start, NOT run_start: DeviceIndex.idx_dtype keys off
+            # "run_start" for the run-space engines; big lanes must be int64
+            arrs["big_run_start"] = jnp.asarray(self.run_start)
+            arrs["samples_last"] = jnp.asarray(self.samples_last)
+            arrs["pred_pos"] = jnp.asarray(self.pred_pos)
+            arrs["phi_at"] = jnp.asarray(self.phi_at)
+            arrs["cruns_keys"] = jnp.asarray(self.cruns_keys)
+        if with_markers:
+            assert self.has_markers, "artifact stores no marker tables"
+            arrs["ma_row"] = jnp.asarray(self.ma_row)
+            arrs["ma_val"] = jnp.asarray(self.ma_val)
+        if self.doc_starts is not None:
+            arrs["doc_starts"] = jnp.asarray(self.doc_starts.astype(np.int64))
         if device is not None:
             arrs = {k: jax.device_put(v, device) for k, v in arrs.items()}
         acgt = self.alpha.encode(np.frombuffer(b"ACGT", dtype=np.uint8))
-        return DeviceIndex(arrays=arrs, n=self.n, R=0, A=self.A, ma_wsize=0,
+        return DeviceIndex(arrays=arrs, n=self.n, R=R, A=self.A,
+                           ma_wsize=self.ma_wsize,
                            ftab_k=0, acgt_codes=tuple(int(c) for c in acgt))
 
     def sharded_index(self):

@@ -86,18 +86,21 @@ def _interleave(lib, old, ins, neu):
     order in the gaps.  Native memcpy path when available."""
     N, m = old.shape[0], neu.shape[0]
     out = np.empty(N + m, dtype=old.dtype)
-    if lib is not None and old.dtype in (np.uint8, np.int64):
+    if lib is not None and old.dtype in (np.uint8, np.int64, np.uint32):
         if not hasattr(lib, "_rbt_il_ready"):
             for fn, ct in ((lib.rbt_interleave_u8, ctypes.c_uint8),
-                           (lib.rbt_interleave_i64, ctypes.c_int64)):
+                           (lib.rbt_interleave_i64, ctypes.c_int64),
+                           (lib.rbt_interleave_u32, ctypes.c_uint32)):
                 fn.argtypes = [ctypes.POINTER(ct), ctypes.c_int64,
                                ctypes.POINTER(ctypes.c_int64),
                                ctypes.POINTER(ct), ctypes.c_int64,
                                ctypes.POINTER(ct)]
                 fn.restype = None
             lib._rbt_il_ready = True
-        fn = lib.rbt_interleave_u8 if old.dtype == np.uint8 else lib.rbt_interleave_i64
-        ct = ctypes.c_uint8 if old.dtype == np.uint8 else ctypes.c_int64
+        fn, ct = {np.dtype(np.uint8): (lib.rbt_interleave_u8, ctypes.c_uint8),
+                  np.dtype(np.int64): (lib.rbt_interleave_i64, ctypes.c_int64),
+                  np.dtype(np.uint32): (lib.rbt_interleave_u32, ctypes.c_uint32),
+                  }[old.dtype]
         p = ctypes.POINTER(ct)
         i64p = ctypes.POINTER(ctypes.c_int64)
         fn(old.ctypes.data_as(p), N, ins.ctypes.data_as(i64p),
@@ -119,15 +122,20 @@ def _sa_of_doc(part_bytes: bytes) -> np.ndarray:
 
 def merge_construct(parts: list[np.ndarray], alpha: Alphabet | None = None,
                     with_sa: bool = True, verbose: bool = False,
-                    prefetch: bool = True):
+                    prefetch: bool = True, sa_dtype=np.int64):
     """eBWT of the document collection `parts` (uint8 byte arrays; each
     document INCLUDES its separator tail, the last one its terminator).
 
-    Returns (bwt_codes uint8[n], sa int64[n] | None, alpha): the BWT code
+    Returns (bwt_codes uint8[n], sa sa_dtype[n] | None, alpha): the BWT code
     sequence and (optionally) the full suffix array in BWT-row order, both
     under the generalized order above with GLOBAL text predecessors / SA
     values, ready for construct.build.build_index(text, sa=sa).
+
+    sa_dtype=np.uint32 halves SA memory and interleave traffic for total
+    n < 2^32 (every pangenome config here; the >= 2^32 regime keeps int64).
     """
+    if sa_dtype == np.uint32:
+        assert sum(int(p.shape[0]) for p in parts) < (1 << 32)
     if alpha is None:
         alpha = Alphabet(np.unique(np.concatenate(
             [np.unique(p) for p in parts])).astype(np.uint8))
@@ -145,7 +153,7 @@ def merge_construct(parts: list[np.ndarray], alpha: Alphabet | None = None,
         prev_last[d] = parts[d - 1][-1]  # d=0 wraps to the last document
 
     bwt = np.empty(0, dtype=np.uint8)
-    sa = np.empty(0, dtype=np.int64) if with_sa else None
+    sa = np.empty(0, dtype=sa_dtype) if with_sa else None
     counts = np.zeros(A, dtype=np.int64)
     E = np.zeros(A, dtype=np.int64)
     ph_rows = np.empty(0, dtype=np.int64)
@@ -183,7 +191,7 @@ def merge_construct(parts: list[np.ndarray], alpha: Alphabet | None = None,
         if d == 0:
             bwt = own_bwt
             if with_sa:
-                sa = own_sa + doc_starts[d]
+                sa = (own_sa + doc_starts[d]).astype(sa_dtype)
             new_ph = r0
         else:
             if lib is not None:
@@ -198,7 +206,8 @@ def merge_construct(parts: list[np.ndarray], alpha: Alphabet | None = None,
             ins = p_sorted + np.arange(m, dtype=np.int64)
             bwt = _interleave(lib, bwt, ins, own_bwt)
             if with_sa:
-                sa = _interleave(lib, sa, ins, own_sa + doc_starts[d])
+                sa = _interleave(lib, sa, ins,
+                                 (own_sa + doc_starts[d]).astype(sa_dtype))
             ph_rows = ph_rows + np.searchsorted(p_sorted, ph_rows, side="right")
             new_ph = int(ins[r0])
         ph_rows = np.append(ph_rows, new_ph)

@@ -44,6 +44,9 @@ def find_ranges_w_toehold(dx: DeviceIndex, qcodes, lengths):
         lo, hi = find_ranges(dx, qcodes, lengths, use_ftab=False)
         return lo, hi, R.toehold_from_range(dx, lo, hi)
 
+    if "cruns_keys" in dx.arrays:
+        return _toehold_trajectory(dx, qcodes, lengths)
+
     k = jnp.full(B, k0, dtype=dt)
     step = R.lf_step_w_loc_occ1 if "tk1_flat" in dx.arrays else R.lf_step_w_loc
 
@@ -61,6 +64,81 @@ def find_ranges_w_toehold(dx: DeviceIndex, qcodes, lengths):
     lo, hi, k, done = jax.lax.fori_loop(0, L, body, (lo, hi, k, done))
     # a failed search clears everything (rowbowt.hpp:177-180)
     k = jnp.where(hi < lo, zero, k)
+    return lo, hi, k
+
+
+def _toehold_trajectory(dx: DeviceIndex, qcodes, lengths):
+    """Toehold by trajectory postpass — the O(R) big-index path (n >= 2^31,
+    no dense kval/ltk; bigindex.py run-space tables).
+
+    TPU-native split of the reference's per-step LF_w_loc (rowbowt.hpp:
+    553-573): the dependent chain stays the plain 2-gather LF count loop,
+    which additionally RECORDS each step's pre-step hi ([L, B], ~100 MB at
+    bench shapes).  Everything data-dependent about the toehold then becomes
+    BULK parallel work after the loop:
+
+      * trivial(t) = (BWT[hi_t] == c_t) — one packed-word element gather per
+        step-lane (ops.rank.bwt_sym), pipelined, not in the dependent chain;
+      * t* = last non-trivial step; its k = samples_last[last c-run at or
+        before run_of(hi_t*)] — the reference's samples_last(run) case —
+        via TWO searchsorteds per LANE (run_of over run_start; the ltk
+        resolve over cruns_keys = run ids sorted by (head, id));
+      * every step after t* is trivial and decrements k by 1 mod n
+        (rowbowt.hpp:557-558), so k_final = (k_at - (len-1-t*)) mod n; lanes
+        with no non-trivial step start from k0 = SA[n-1]: k = (k0 - len).
+
+    Per-read cost over plain count: ~L element gathers (bulk) + O(log R)
+    per lane — not the O(L log R) a per-step run-space LF_w_loc would pay
+    inside the dependent loop.
+    """
+    B, L = qcodes.shape
+    dt = jnp.int64
+    m = lengths.astype(dt)
+    lo = jnp.zeros(B, dtype=dt)
+    hi = jnp.full(B, dx.n - 1, dtype=dt)
+    done = jnp.zeros(B, dtype=bool)
+    hi_rec = jnp.zeros((L, B), dtype=dt)
+    step = R.lf_step_auto(dx)
+
+    def body(j, st):
+        lo, hi, done, hi_rec = st
+        c = qcodes[:, L - 1 - j].astype(dt)
+        active = (~done) & (j < m)
+        hi_rec = jax.lax.dynamic_update_index_in_dim(hi_rec, hi, j, 0)
+        nlo, nhi = step(dx, lo, hi, c)
+        lo = jnp.where(active, nlo, lo)
+        hi = jnp.where(active, nhi, hi)
+        done = done | (active & (nlo > nhi))
+        return lo, hi, done, hi_rec
+
+    lo, hi, done, hi_rec = jax.lax.fori_loop(
+        0, L, body, (lo, hi, done, hi_rec))
+
+    csteps = qcodes[:, ::-1].T.astype(jnp.int32)  # [L, B]: char of step j
+    sym = R.bwt_sym(dx, hi_rec.reshape(-1)).reshape(L, B)
+    jidx = jnp.arange(L, dtype=dt)[:, None]
+    nontriv = (jidx < m[None, :]) & (sym != csteps)
+    t_star = jnp.max(jnp.where(nontriv, jidx, -1), axis=0)  # [B]
+
+    k0 = (dx.arrays["samples_last"][dx.R - 1].astype(dt) + 1) % dx.n
+    k_triv = (k0 - m) % dx.n
+
+    ts = jnp.maximum(t_star, 0)
+    hi_ts = jnp.take_along_axis(hi_rec, ts[None, :], axis=0)[0]
+    c_ts = jnp.take_along_axis(csteps, ts[None, :], axis=0)[0].astype(dt)
+    rs = dx.arrays["big_run_start"]
+    r_ts = jnp.searchsorted(rs, hi_ts.astype(rs.dtype), side="right",
+                            method="scan_unrolled").astype(dt) - 1
+    keys = dx.arrays["cruns_keys"]
+    q = (c_ts * dx.R + r_ts).astype(keys.dtype)
+    jc = jnp.searchsorted(keys, q, side="right",
+                          method="scan_unrolled").astype(dt) - 1
+    rr = keys[jnp.maximum(jc, 0)].astype(dt) - c_ts * dx.R
+    k_at = dx.arrays["samples_last"][jnp.clip(rr, 0, dx.R - 1)].astype(dt)
+    k_nt = (k_at - (m - 1 - t_star)) % dx.n
+
+    k = jnp.where(t_star < 0, k_triv, k_nt)
+    k = jnp.where(hi < lo, jnp.zeros((), dtype=dt), k)
     return lo, hi, k
 
 

@@ -370,15 +370,29 @@ def lf_step_w_loc(dx: DeviceIndex, lo, hi, c, k):
 
 def phi_step(dx: DeviceIndex, i):
     """Batched ToeholdSA::phi (toehold_sa.hpp:56-72); one gather via the dense
-    phi1 table when built, else predecessor searchsorted."""
+    phi1 table when built, else predecessor searchsorted.
+
+    The run-space tables may be stored narrow (u32 positions / i32 run ids —
+    the big-index layout, bigindex.py); queries and results are cast through
+    the table dtype and back, so lanes stay int64 at any n."""
     arr = dx.arrays
     if "phi1" in arr:
         return arr["phi1"][jnp.clip(i, 0, dx.n - 1)]
-    rk = _ss(arr["pred_pos"], i, "left")  # number of pred values < i
+    if "phi_at" in arr:
+        # exact SA-adjacency breakpoint table (bigindex.big_locate_tables):
+        # phi is piecewise i + const; pred_pos[0] == 0 so rk >= 0 always
+        pp = arr["pred_pos"]
+        rk = jnp.searchsorted(pp, i.astype(pp.dtype), side="right",
+                              method="scan_unrolled").astype(i.dtype) - 1
+        base = arr["phi_at"][rk].astype(i.dtype)
+        return (base + (i - pp[rk].astype(i.dtype))) % dx.n
+    pp = arr["pred_pos"]
+    rk = jnp.searchsorted(pp, i.astype(pp.dtype), side="left",
+                          method="scan_unrolled").astype(i.dtype)
     jr = jnp.where(rk == 0, dx.R - 1, rk - 1)
-    j = arr["pred_pos"][jr]
+    j = pp[jr].astype(i.dtype)
     delta = jnp.where(j < i, i - j, i + 1)
-    prev_sample = arr["samples_last"][arr["pred_to_run"][jr] - 1]
+    prev_sample = arr["samples_last"][arr["pred_to_run"][jr] - 1].astype(i.dtype)
     return (prev_sample + delta) % dx.n
 
 
@@ -391,8 +405,11 @@ def markers_bounds(dx: DeviceIndex, lo, hi):
         s = ms[jnp.clip(lo, 0, dx.n)]
         e = ms[jnp.clip(hi + 1, 0, dx.n)]
     else:
-        s = _ss(arr["ma_row"], lo, "left")
-        e = _ss(arr["ma_row"], hi + 1, "left")
+        mr = arr["ma_row"]  # may be u32 (big layout); cast through and back
+        s = jnp.searchsorted(mr, jnp.clip(lo, 0, dx.n).astype(mr.dtype),
+                             side="left", method="scan_unrolled").astype(lo.dtype)
+        e = jnp.searchsorted(mr, jnp.clip(hi + 1, 0, dx.n).astype(mr.dtype),
+                             side="left", method="scan_unrolled").astype(lo.dtype)
     return s, jnp.maximum(e - s, 0)
 
 
@@ -444,6 +461,30 @@ def ftab_lookup(dx: DeviceIndex, kcodes):
         jnp.where(hit, hi, zero + dx.n - 1),
         hit,
     )
+
+
+def bwt_sym(dx: DeviceIndex, i):
+    """BWT code at position i (batched) from the packed fused-block words —
+    ONE gathered int32 element per lane, no checkpoint read.
+
+    Works on every fblock-family layout (96B/64B rows, single- or two-level):
+    the superblock regions of fb2/fb2_64 are contiguous multiples of the
+    block size, so the global row id is just i >> shift.  Out-of-range i is
+    clamped; callers mask."""
+    arr = dx.arrays
+    for key, shift in (("fb2_64", 6), ("fblock64", 6),
+                       ("fb2", 7), ("fblock", 7)):
+        if key in arr:
+            tab = arr[key]
+            break
+    else:
+        raise ValueError("bwt_sym needs an fblock-family table")
+    isafe = jnp.clip(i, 0, dx.n - 1)
+    blk = (isafe >> shift).astype(jnp.int32)
+    off = (isafe & ((1 << shift) - 1)).astype(jnp.int32)
+    w = tab[blk, _FB_CKPT + (off >> 3)]
+    w = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    return ((w >> (4 * (off & 7)).astype(jnp.uint32)) & 15).astype(jnp.int32)
 
 
 def toehold_from_range(dx: DeviceIndex, lo, hi):

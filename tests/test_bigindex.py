@@ -99,3 +99,191 @@ def test_bigindex_sharded_view_matches(rand_index):
     dlo, dhi = find_ranges(big.device_index(), qc, lens)
     np.testing.assert_array_equal(np.asarray(slo), np.asarray(dlo))
     np.testing.assert_array_equal(np.asarray(shi), np.asarray(dhi))
+
+
+# ---------------------------------------------------------------------------
+# v2: O(R) locate + O(M) marker tables (the n >= 2^31 capability, round 4)
+# ---------------------------------------------------------------------------
+
+def _marker_fixture():
+    """Panel with markers, built whole-text so BigIndex rows match RbtIndex."""
+    from rowbowt_tpu.alphabet import SEP_BYTE, TERM_BYTE
+    from rowbowt_tpu.construct.build import build_index
+    from rowbowt_tpu.construct.panel import Marker
+
+    rng = np.random.default_rng(123)
+    parts, doc_starts, markers = [], [], []
+    pos, w = 0, 6
+    for d in range(4):
+        L = int(rng.integers(300, 500))
+        seq = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=L)
+        doc_starts.append(pos)
+        for _ in range(8):
+            p = int(rng.integers(0, L))
+            markers.append(Marker(text_pos=pos + p, seq=0, pos=p,
+                                  allele=int(rng.integers(0, 2))))
+        parts.append(seq)
+        parts.append(np.full(w, SEP_BYTE, dtype=np.uint8))
+        pos += L + w
+    parts.append(np.array([TERM_BYTE], dtype=np.uint8))
+    text = np.concatenate(parts)
+    idx = build_index(text, markers=markers,
+                      doc_starts=np.array(doc_starts, dtype=np.int64),
+                      doc_names=[f"doc{d}" for d in range(4)], ma_wsize=w)
+    return idx, text, markers
+
+
+def _reads_of(text, rng, k=40):
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for i in range(k):
+        L = int(rng.integers(2, 40))
+        p = int(rng.integers(0, len(text) - L))
+        r = np.array(text[p:p + L])
+        if i % 3 == 0 and L > 4:  # mutate: failing/short-seed lanes
+            r[int(rng.integers(0, L))] = acgt[int(rng.integers(0, 4))]
+        if np.isin(r, acgt).all():
+            reads.append(bytes(r))
+    return reads
+
+
+def _big_v2(idx):
+    codes = _codes_of(idx)
+    sa = np.asarray(idx.kval).astype(np.uint32)
+    big = BigIndex.from_codes(codes, idx.alpha, n_sup=4)
+    big.attach_locate(codes, sa)
+    return big, sa
+
+
+def test_big_locate_tables_match_rbt_builders():
+    """big_locate_tables/big_marker_tables == the RbtIndex construction."""
+    from rowbowt_tpu.index import pack_marker
+
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    big.attach_markers(sa, [m.text_pos for m in markers],
+                       [pack_marker(m.seq, m.pos, m.allele) for m in markers],
+                       idx.ma_wsize)
+    np.testing.assert_array_equal(big.run_start.astype(np.int64), idx.run_start)
+    np.testing.assert_array_equal(big.samples_last.astype(np.int64),
+                                  idx.samples_last)
+    # the breakpoint phi table must reproduce the dense phi1 (SA adjacency)
+    # exactly at every position
+    rk = np.searchsorted(big.pred_pos, np.arange(idx.n), side="right") - 1
+    phi_all = (big.phi_at.astype(np.int64)[rk]
+               + (np.arange(idx.n) - big.pred_pos.astype(np.int64)[rk])) % idx.n
+    np.testing.assert_array_equal(phi_all, np.asarray(idx.phi1).astype(np.int64))
+    np.testing.assert_array_equal(big.ma_row.astype(np.int64), idx.ma_row)
+    np.testing.assert_array_equal(big.ma_val, idx.ma_val)
+    # cruns_keys holds run ids grouped by head, ascending within each char
+    rr = big.cruns_keys.astype(np.int64) % big.R
+    np.testing.assert_array_equal(np.sort(rr), np.arange(big.R))
+
+
+def test_big_toehold_trajectory_and_locate_parity():
+    """The trajectory-postpass toehold + run-space phi walk == the dense
+    kval/phi1 engine, lane-exact (locs order: toehold first, phi chain)."""
+    from rowbowt_tpu.engine.device import DeviceIndex
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
+
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    dxb = big.device_index()
+    assert "cruns_keys" in dxb.arrays and "kval" not in dxb.arrays
+    dxr = DeviceIndex.from_index(idx)
+    reads = _reads_of(text, np.random.default_rng(7))
+    qc, lens = encode_batch(idx, reads)
+    blo, bhi, bk = map(np.asarray, find_ranges_w_toehold(dxb, qc, lens))
+    rlo, rhi, rk = map(np.asarray, find_ranges_w_toehold(dxr, qc, lens))
+    np.testing.assert_array_equal(blo, rlo)
+    np.testing.assert_array_equal(bhi, rhi)
+    np.testing.assert_array_equal(bk, rk)
+    bl, bc = map(np.asarray, locate(dxb, *find_ranges_w_toehold(dxb, qc, lens),
+                                    max_hits=6))
+    rl, rc = map(np.asarray, locate(dxr, *find_ranges_w_toehold(dxr, qc, lens),
+                                    max_hits=6))
+    np.testing.assert_array_equal(bc, rc)
+    np.testing.assert_array_equal(bl, rl)
+
+
+def test_big_markers_parity():
+    """Windowed + greedy-seeding marker queries on the BigIndex v2 tables ==
+    the replicated dense engine, buffer-exact."""
+    from rowbowt_tpu.engine.device import DeviceIndex
+    from rowbowt_tpu.engine.markers import find_ranges_w_markers
+    from rowbowt_tpu.engine.seeds import markers_greedy_seeding
+    from rowbowt_tpu.index import pack_marker
+
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    big.attach_markers(sa, [m.text_pos for m in markers],
+                       [pack_marker(m.seq, m.pos, m.allele) for m in markers],
+                       idx.ma_wsize)
+    dxb = big.device_index()
+    dxr = DeviceIndex.from_index(idx)
+    reads = _reads_of(text, np.random.default_rng(8))
+    qc, lens = encode_batch(idx, reads)
+    outb = find_ranges_w_markers(dxb, qc, lens, wsize=6, max_range=100, max_k=8)
+    outr = find_ranges_w_markers(dxr, qc, lens, wsize=6, max_range=100, max_k=8)
+    for a, b in zip(outb, outr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    gb = markers_greedy_seeding(dxb, qc, lens, wsize=6, max_range=100,
+                                max_seeds=4, max_k=8, use_ftab=False)
+    gr = markers_greedy_seeding(dxr, qc, lens, wsize=6, max_range=100,
+                                max_seeds=4, max_k=8, use_ftab=False)
+    for a, b in zip(gb, gr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_big_v2_save_load_roundtrip(tmp_path):
+    from rowbowt_tpu.index import pack_marker
+
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    big.attach_markers(sa, [m.text_pos for m in markers],
+                       [pack_marker(m.seq, m.pos, m.allele) for m in markers],
+                       idx.ma_wsize)
+    big.doc_starts = np.asarray(idx.doc_starts)
+    big.doc_names = list(idx.doc_names)
+    p = str(tmp_path / "bigv2")
+    big.save(p)
+    assert BigIndex.is_big_dir(p) and not BigIndex.is_big_dir(str(tmp_path))
+    back = BigIndex.load(p)
+    assert back.has_locate and back.has_markers
+    assert back.ma_wsize == idx.ma_wsize and back.R == big.R
+    for k in BigIndex._OPT:
+        v = getattr(big, k)
+        if v is not None:
+            np.testing.assert_array_equal(np.asarray(getattr(back, k)), v)
+    assert back.doc_names == big.doc_names
+
+
+def test_big_from_merge_order_parity(rand_index):
+    """BigIndex v2 built from MERGE-order (codes, sa) — exactly the pangenome
+    build pipeline — answers toehold locate row-exact vs the dense engine on
+    the same (merge-order) index."""
+    from rowbowt_tpu.construct.build import build_index
+    from rowbowt_tpu.construct.merge import merge_construct, split_text_docs
+    from rowbowt_tpu.engine.device import DeviceIndex
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
+
+    idx, text = rand_index
+    parts = split_text_docs(text, idx.doc_starts)
+    bwt, sa, alpha = merge_construct(parts, sa_dtype=np.uint32)
+    midx = build_index(text, sa=sa.astype(np.int64))
+    codes = alpha.encode(alpha.decode(bwt)).astype(np.uint8)  # = bwt already
+    big = BigIndex.from_codes(bwt, alpha, n_sup=4)
+    big.attach_locate(bwt, sa)
+    assert (codes == bwt).all()
+    dxb = big.device_index()
+    dxm = DeviceIndex.from_index(midx)
+    reads = _reads_of(text, np.random.default_rng(5))
+    qc, lens = encode_batch(midx, reads)
+    rb = find_ranges_w_toehold(dxb, qc, lens)
+    rm = find_ranges_w_toehold(dxm, qc, lens)
+    for a, b in zip(rb, rm):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    lb, cb = locate(dxb, *rb, max_hits=5)
+    lm, cm = locate(dxm, *rm, max_hits=5)
+    np.testing.assert_array_equal(np.asarray(cb), np.asarray(cm))
+    np.testing.assert_array_equal(np.asarray(lb), np.asarray(lm))

@@ -113,3 +113,14 @@ def test_merge_index_count_locate_parity(rand_index):
             got = sorted(naive.locate_range(midx, lm, hm, km, hm - lm + 1))
             want = sorted(naive.locate_range(idx, lw, hw, kw, hw - lw + 1))
             assert got == want, q  # same occurrence SET
+
+
+def test_merge_u32_sa_parity():
+    """sa_dtype=np.uint32 (the pangenome-scale layout) == the int64 SA."""
+    rng = np.random.default_rng(17)
+    parts = _rand_parts(rng, k=5)
+    bwt64, sa64, _ = merge_construct(parts, sa_dtype=np.int64)
+    bwt32, sa32, _ = merge_construct(parts, sa_dtype=np.uint32)
+    assert sa32.dtype == np.uint32
+    np.testing.assert_array_equal(bwt32, bwt64)
+    np.testing.assert_array_equal(sa32.astype(np.int64), sa64)
