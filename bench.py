@@ -434,7 +434,130 @@ def run_big() -> dict:
         out["vs_baseline_big"] = round(rps / cpu_rps, 3)
         print(f"bench[big]: cpu-1t {cpu_rps:,.0f} reads/s "
               f"(x{rps/cpu_rps:,.1f})", file=sys.stderr)
+    _emit(out)
+
+    # ---- v2 artifact: toehold locate + markers at n > 2^31 (round 4) ----
+    if not big.has_locate:
+        print("bench[big]: count-only artifact (rebuild with "
+              "scripts/build_big_index.py for locate/markers)", file=sys.stderr)
+        return out
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
+
+    out["R_big"] = big.R
+    exp_k = np.load(os.path.join(BIG_CACHE, "expect_k.npy"))
+    exp_locs = np.load(os.path.join(BIG_CACHE, "expect_locs4.npy"))
+    npar = exp_k.shape[0]
+
+    @jax.jit
+    def loc_all(dx, qc3, len2, salt):
+        def step(_, xs):
+            qc, ln = xs
+            lo, hi, k = find_ranges_w_toehold(dx, qc, ln + salt - salt)
+            locs, cnt = locate(dx, lo, hi, k, max_hits=4)
+            return None, (lo, hi, k, locs, cnt)
+        _, r = jax.lax.scan(step, None, (qc3, len2))
+        return r + (jnp.sum(r[4]) + jnp.sum(r[3]),)
+
+    r = loc_all(dx, qc3, len2, 0)
+    klo = np.asarray(r[0]).reshape(-1)[:npar]
+    khi = np.asarray(r[1]).reshape(-1)[:npar]
+    kk = np.asarray(r[2]).reshape(-1)[:npar]
+    klocs = np.asarray(r[3]).reshape(-1, 4)[:npar]
+    ne = exp_hi >= exp_lo
+    assert (klo[ne] == exp_lo[ne]).all() and (khi[ne] == exp_hi[ne]).all()
+    assert (kk[ne] == exp_k[ne]).all(), "big toehold != SA[hi] oracle"
+    assert (klocs[ne] == exp_locs[ne]).all(), "big phi-walk locs != SA oracle"
+    print(f"bench[big]: locate parity ok on {int(ne.sum())} reads "
+          f"(toehold + 4-hit phi walk vs the merge-SA oracle)", file=sys.stderr)
+    tl = _timeit(lambda s: loc_all(dx, qc3, len2, s)[5], 1)
+    out["locate_reads_per_s_big"] = round(n_done / tl, 1)
+    print(f"bench[big]: locate {n_done/tl:,.0f} reads/s (max_hits=4, "
+          f"R={big.R:,})", file=sys.stderr)
+    _emit(out)
+
+    if not big.has_markers:
+        return out
+    from rowbowt_tpu.engine.markers import find_ranges_w_markers
+    from rowbowt_tpu.ops import rank as RK
+
+    # final-range marker parity vs the host CSR oracle
+    exp_mcnt = np.load(os.path.join(BIG_CACHE, "expect_mcnt.npy"))
+    exp_mvals = np.load(os.path.join(BIG_CACHE, "expect_mvals8.npy"))
+    mv, mc = map(np.asarray, jax.jit(lambda d, lo, hi: RK.markers_at_range(
+        d, lo, hi, 8))(dx, jnp.asarray(klo), jnp.asarray(khi)))
+    assert (mc[ne] == exp_mcnt[ne]).all(), "big marker counts != CSR oracle"
+    assert (mv[ne] == exp_mvals[ne]).all(), "big marker values != CSR oracle"
+    print(f"bench[big]: marker parity ok on {int(ne.sum())} reads",
+          file=sys.stderr)
+
+    @jax.jit
+    def mk_all(dx, qc3, len2, salt):
+        def step(_, xs):
+            qc, ln = xs
+            lo, hi, buf, used, ovf = find_ranges_w_markers(
+                dx, qc, ln + salt - salt, wsize=10, max_range=1000, max_k=16)
+            return None, jnp.sum(used) + jnp.sum(lo)
+        _, s = jax.lax.scan(step, None, (qc3, len2))
+        return jnp.sum(s)
+
+    tm = _timeit(lambda s: mk_all(dx, qc3, len2, s), 1)
+    out["markers_reads_per_s_big"] = round(n_done / tm, 1)
+    print(f"bench[big]: markers {n_done/tm:,.0f} reads/s "
+          f"(M={big.ma_row.shape[0]:,})", file=sys.stderr)
+    _emit(out)
+
+    # the production greedy-seeding genotyping path (rb_markers workload),
+    # fwd+rc like the CLI: 2 lanes per read
+    from rowbowt_tpu.engine.seeds import markers_greedy_seeding
+
+    rc3 = _revcomp_interleave(big.alpha, qcodes, lens, nb // 2 if nb > 1 else 1)
+    if rc3 is not None:
+        g3, gl3 = rc3
+
+        @jax.jit
+        def greedy_all(dx, g3, gl3, salt):
+            def step(_, xs):
+                qc, ln = xs
+                outs = markers_greedy_seeding(
+                    dx, qc, ln + salt - salt, wsize=10, max_range=1000,
+                    max_seeds=8, max_k=16, use_ftab=False, values=False)
+                return None, outs[0].sum() + outs[5].sum()
+            _, s = jax.lax.scan(step, None, (g3, gl3))
+            return jnp.sum(s)
+
+        n_reads_g = g3.shape[0] * g3.shape[1] // 2
+        tg = _timeit(lambda s: greedy_all(dx, g3, gl3, s), 1)
+        out["markers_greedy_reads_per_s_big"] = round(n_reads_g / tg, 1)
+        print(f"bench[big]: greedy markers {n_reads_g/tg:,.0f} reads/s "
+              f"(fwd+rc)", file=sys.stderr)
     return out
+
+
+def _revcomp_interleave(alpha, qcodes, lens, nb):
+    """[N, L] codes -> [nb, B, L] with each read's fwd and rc interleaved as
+    adjacent lanes (the rb_markers two-strand workload); None if too few."""
+    import jax.numpy as jnp
+
+    tab = alpha.encode_table()
+    comp = np.full(16, -1, dtype=np.int64)
+    for x, y in zip(b"ACGT", b"TGCA"):
+        cx, cy = int(tab[x]), int(tab[y])
+        if cx >= 0 and cy >= 0:
+            comp[cx] = cy
+    N, L = qcodes.shape
+    half = nb * BATCH // 2
+    if N < half:
+        return None
+    fwd = qcodes[:half].astype(np.int64)
+    rc = np.where(fwd[:, ::-1] >= 0, comp[np.maximum(fwd[:, ::-1], 0)], -1)
+    # reads here are full-length (right-aligned == left-aligned), so the
+    # reversed read stays right-aligned
+    inter = np.empty((half * 2, L), dtype=np.int32)
+    inter[0::2] = fwd
+    inter[1::2] = rc
+    il = np.repeat(lens[:half], 2).astype(np.int32)
+    return (jnp.asarray(inter.reshape(nb, BATCH, L)),
+            jnp.asarray(il.reshape(nb, BATCH)))
 
 
 def _emit(out: dict) -> None:
@@ -543,7 +666,7 @@ def main():
         acc.update(chr_)
     _emit_final(acc)
     if os.path.exists(os.path.join(BIG_CACHE, "meta.json")):
-        big = _run_worker("big", timeout=420, attempts=2, deadline=deadline)
+        big = _run_worker("big", timeout=560, attempts=2, deadline=deadline)
         if big:
             acc.update(big)
         _emit_final(acc)

@@ -39,14 +39,32 @@ class Timer:
         return time.perf_counter() - self.t0
 
 
-def load_index(prefix: str, sa=False, ma=False, dl=False, ft=False) -> RbtIndex:
+def load_index(prefix: str, sa=False, ma=False, dl=False, ft=False):
+    """Flag-gated index load (LoadRbwtFlag role, rowbowt_io.hpp:146-189).
+
+    Auto-detects the two-level big (n >= 2^31) artifact — one CLI serves any
+    index, like the reference's binaries (rb_align.cpp:147-193).  Big
+    artifacts defer flag gating to device_index (host load is mmap'd)."""
+    from rowbowt_tpu.bigindex import BigIndex
+
+    if BigIndex.is_big_dir(prefix):
+        eprint(f"loading (big two-level artifact): {prefix}")
+        if ft:
+            eprint("note: big artifacts carry no ftab; running without it")
+        return BigIndex.load(prefix)
     eprint(f"loading: {prefix}")
     return RbtIndex.load(prefix, with_sa=sa, with_ma=ma, with_dl=dl, with_ft=ft)
 
 
-def device_index(idx: RbtIndex):
+def device_index(idx, sa=False, ma=False):
+    """HBM view.  For RbtIndex the component gating already happened at load
+    time; a BigIndex mmap-loads everything on host and gates HBM here."""
+    from rowbowt_tpu.bigindex import BigIndex
     from rowbowt_tpu.engine.device import DeviceIndex
 
+    if isinstance(idx, BigIndex):
+        return idx.device_index(with_locate=sa and idx.has_locate,
+                                with_markers=ma and idx.has_markers)
     return DeviceIndex.from_index(idx)
 
 

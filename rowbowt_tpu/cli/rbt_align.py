@@ -55,7 +55,7 @@ def main(argv=None):
         eprint("error: index has no marker array (build with -m); "
                "marker queries are unavailable")
         return 1
-    dx = device_index(idx)
+    dx = device_index(idx, sa=args.sam, ma=args.markers)
     load_s = t_load.lap()
 
     out = sys.stdout

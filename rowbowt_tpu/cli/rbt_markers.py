@@ -72,7 +72,7 @@ def main(argv=None):
     if idx.ma_row is None:
         eprint("error: index has no marker array (build with -m)")
         return 1
-    dx = device_index(idx)
+    dx = device_index(idx, ma=True)
     eprint(f"loading rowbowt + markers took: {t.lap()} seconds")
 
     t = Timer()

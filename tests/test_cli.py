@@ -221,3 +221,64 @@ def test_missing_component_errors(tmp_path, capsys):
     assert rbt_locs.main([out, f"{REF}/simple_query.fq"]) == 1
     err = capsys.readouterr().err
     assert "not found" in err or "no toehold SA" in err
+
+
+@pytest.fixture(scope="module")
+def big_format_index(tmp_path_factory, tiny_index, tiny_panel):
+    """The tiny fixture re-packed as a BigIndex (two-level) artifact — the CLI
+    must serve it through the same binaries (rb_align.cpp:147-193 contract)."""
+    from rowbowt_tpu.bigindex import BigIndex
+    from rowbowt_tpu.index import pack_marker
+
+    idx = tiny_index
+    run_len = np.diff(np.append(idx.run_start, idx.n))
+    codes = np.repeat(idx.run_head.astype(np.uint8), run_len)
+    sa = np.asarray(idx.kval).astype(np.uint32)
+    big = BigIndex.from_codes(codes, idx.alpha, n_sup=4)
+    big.attach_locate(codes, sa)
+    ms = tiny_panel.markers
+    big.attach_markers(sa, [m.text_pos for m in ms],
+                       [pack_marker(m.seq, m.pos, m.allele) for m in ms],
+                       idx.ma_wsize)
+    big.doc_starts = np.asarray(idx.doc_starts)
+    big.doc_names = list(idx.doc_names)
+    out = str(tmp_path_factory.mktemp("cli_big") / "big.idx")
+    big.save(out)
+    return out
+
+
+def test_align_cli_on_big_artifact(big_format_index, capsys):
+    """rbt_align auto-detects the big artifact: counts, locs, and markers all
+    golden — the full capability matrix through one CLI."""
+    from rowbowt_tpu.cli import rbt_align
+
+    assert rbt_align.main([big_format_index, f"{REF}/simple_query.fq"]) == 0
+    assert capsys.readouterr().out == GOLDEN_COUNTS
+
+    assert rbt_align.main([big_format_index, f"{REF}/simple_query.fq",
+                           "-s", "-m"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 18
+    for i, name in enumerate(GOLDEN_COUNTS.splitlines()):
+        rname = name.split()[0]
+        locs_line = out[3 * i + 1]
+        assert locs_line.startswith("\tlocs: ")
+        got = [int(x.split("/")[0]) for x in locs_line.split()[1:]]
+        assert got == GOLDEN_LOCS[rname], rname
+    assert "289/0" in out[2] and "289/1" in out[5]
+    assert "4650/0" in out[14] and "4650/1" in out[17]
+    assert "no markers" in out[8] and "no markers" in out[11]
+
+
+def test_markers_cli_on_big_artifact(built_index, big_format_index, capsys):
+    """rbt_markers (the production genotyping tool) byte-identical between the
+    replicated RbtIndex and the big two-level artifact."""
+    from rowbowt_tpu.cli import rbt_markers
+
+    argv_tail = [f"{REF}/error_query.fq", "-w", "10", "-r", "10000"]
+    assert rbt_markers.main([built_index] + argv_tail) == 0
+    want = capsys.readouterr().out
+    assert rbt_markers.main([big_format_index] + argv_tail) == 0
+    got = capsys.readouterr().out
+    assert got == want
+    assert want.strip()
