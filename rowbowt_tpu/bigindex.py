@@ -339,12 +339,30 @@ class BigIndex:
                            ftab_k=0, acgt_codes=tuple(int(c) for c in acgt))
 
     def sharded_index(self):
-        """The position-sharded view (n_idx == n_sup shards) for mesh runs."""
+        """The position-sharded view (n_idx == n_sup shards) for mesh runs.
+
+        The fb rank tables shard by position; the O(R) toehold/phi tables and
+        the O(M) marker CSR REPLICATE (they are 20-300x smaller than the fb
+        shards) — the sharded engines' `big_*` path (parallel/sharded_dense)."""
         from rowbowt_tpu.parallel.sharded_dense import ShardedDenseIndex
 
+        bt = None
+        k0 = 0
+        if self.has_locate:
+            bt = {"run_start": np.asarray(self.run_start),
+                  "samples_last": np.asarray(self.samples_last),
+                  "pred_pos": np.asarray(self.pred_pos),
+                  "phi_at": np.asarray(self.phi_at),
+                  "cruns_keys": np.asarray(self.cruns_keys)}
+            k0 = int((int(self.samples_last[-1]) + 1) % self.n)
+        if self.has_markers:
+            bt = bt or {}
+            bt["ma_row"] = np.asarray(self.ma_row)
+            bt["ma_val"] = np.asarray(self.ma_val)
         return ShardedDenseIndex(
             fb3=np.ascontiguousarray(
                 self.fb2.reshape(self.n_sup, self.per_blk, -1)),
             base=self.base, F=self.F.astype(np.int64), n=self.n, A=self.A,
-            n_idx=self.n_sup, per_blk=self.per_blk, k0=0,
+            n_idx=self.n_sup, per_blk=self.per_blk, k0=k0,
+            big_tables=bt, R=self.R, ma_wsize=self.ma_wsize,
         )

@@ -61,6 +61,12 @@ class ShardedDenseIndex:
     mv2: np.ndarray | None = None  # int64[n_idx, max_ent]
     goff: np.ndarray | None = None  # [n_idx + 1]
     ma_wsize: int = 10
+    # big (n >= 2^31) layout: the O(n) kval2/phi2/ms2 cannot exist; the O(R)
+    # run-space toehold/phi tables and the O(M) marker CSR are REPLICATED
+    # (20-300x smaller than the sharded fb3) — bigindex.py conventions
+    big_tables: dict | None = None  # run_start/samples_last/pred_pos/phi_at/
+    #                                 cruns_keys[/ma_row/ma_val], numpy
+    R: int = 0
 
     @property
     def per_pos(self) -> int:
@@ -176,6 +182,9 @@ class ShardedDenseIndex:
                 d[name] = jax.device_put(v, NamedSharding(mesh, P("idx", None)))
         if self.goff is not None:
             d["goff"] = jax.device_put(self.goff, rep)
+        if self.big_tables:
+            for name, v in self.big_tables.items():
+                d["big_" + name] = jax.device_put(v, rep)
         return d
 
 
@@ -185,7 +194,7 @@ def _specs(tables):
         "kval2": P("idx", None), "phi2": P("idx", None),
         "ms2": P("idx", None), "mv2": P("idx", None), "goff": P(),
     }
-    return {k: by_name[k] for k in tables}
+    return {k: by_name.get(k, P()) for k in tables}  # big_* are replicated
 
 
 def _mk_rank(sdx: ShardedDenseIndex, tb):
@@ -222,6 +231,29 @@ def _mk_rank(sdx: ShardedDenseIndex, tb):
     return rank
 
 
+def _mk_sym(sdx: ShardedDenseIndex, tb):
+    """Owner-picked BWT symbol at position i from the sharded fb rows (the
+    sharded ops.rank.bwt_sym): one packed-word element gather + psum."""
+    my = jax.lax.axis_index("idx")
+    fb_loc = tb["fb3"][0] if tb["fb3"].ndim == 3 else tb["fb3"]
+    per_blk = fb_loc.shape[0]
+    shift = 7 if fb_loc.shape[1] == FB_ROW else 6
+
+    def sym(i):
+        isafe = jnp.clip(i, 0, sdx.n - 1)
+        blk = isafe >> shift
+        lblk = blk - my * per_blk
+        owner = (lblk >= 0) & (lblk < per_blk)
+        off = (isafe & ((1 << shift) - 1)).astype(jnp.int32)
+        w = fb_loc[jnp.clip(lblk, 0, per_blk - 1).astype(jnp.int32),
+                   FB_CKPT + (off >> 3)]
+        w = jax.lax.bitcast_convert_type(w, jnp.uint32)
+        nib = ((w >> (4 * (off & 7)).astype(jnp.uint32)) & 15).astype(jnp.int32)
+        return jax.lax.psum(jnp.where(owner, nib, 0), "idx")
+
+    return sym
+
+
 def _mk_ms(sdx: ShardedDenseIndex, tb):
     """Owner-picked global ma_start1[i] closure (i in [0, n]); call inside
     shard_map.  The right edge is duplicated into each shard (ms2 build), so
@@ -251,6 +283,33 @@ def _mk_mv_pick(sdx: ShardedDenseIndex, tb):
         owner = (lg >= 0) & (lg < goff[my + 1] - goff[my]) & valid
         v = mv_loc[jnp.clip(lg, 0, mv_loc.shape[0] - 1)]
         return jax.lax.psum(jnp.where(owner, v, 0), "idx")
+
+    return pick
+
+
+def _mk_ms_any(sdx: ShardedDenseIndex, tb):
+    """ma_start1[i] closure: dense owner-pick (ms2) or, on the big layout, a
+    searchsorted over the REPLICATED marker CSR — no collective at all."""
+    if "ms2" in tb:
+        return _mk_ms(sdx, tb)
+    mr = tb["big_ma_row"]
+
+    def ms_at(i):
+        return jnp.searchsorted(mr, i.astype(mr.dtype), side="left",
+                                method="scan_unrolled").astype(i.dtype)
+
+    return ms_at
+
+
+def _mk_mv_any(sdx: ShardedDenseIndex, tb):
+    """Packed-marker value resolve: entry-sharded psum (mv2) or a plain
+    replicated gather (big layout)."""
+    if "mv2" in tb:
+        return _mk_mv_pick(sdx, tb)
+    mv = tb["big_ma_val"]
+
+    def pick(entry, valid):
+        return mv[jnp.clip(entry, 0, mv.shape[0] - 1).astype(jnp.int32)]
 
     return pick
 
@@ -320,8 +379,15 @@ def find_ranges_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex, tables: dict,
 def find_ranges_w_toehold_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
                                         tables: dict, qcodes, lengths):
     """Count LF + final kval pick: the sharded form of the kval invariant
-    (toehold == SA[final hi], ops.rank.toehold_from_range)."""
+    (toehold == SA[final hi], ops.rank.toehold_from_range).
+
+    On the big (n >= 2^31) layout — no dense kval2 — this is the sharded
+    trajectory postpass (engine.locate._toehold_trajectory): the count loop
+    records each step's pre-step hi, BWT[hi] checks ride ONE owner-psum of
+    [L, B] packed-word gathers (_mk_sym), and the single non-trivial ltk
+    resolve runs on the replicated O(R) tables with no collective."""
     L = qcodes.shape[1]
+    big = sdx.kval2 is None and sdx.big_tables is not None
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(_specs(tables), P("dp", None), P("dp")),
@@ -331,10 +397,51 @@ def find_ranges_w_toehold_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
         dt = tb["F"].dtype
         lens_ = lens.astype(dt)
         zero = (qc[:, 0] * 0).astype(dt)
-        st = (zero, zero + (sdx.n - 1), zero != 0)
-        lo, hi, _ = jax.lax.fori_loop(
-            0, L, _lf_body(sdx, rank, tb["F"], qc, lens_, L), st)
-        k = _pos_pick(sdx, tb, "kval2", jnp.clip(hi, 0, sdx.n - 1)).astype(dt)
+        if not big:
+            st = (zero, zero + (sdx.n - 1), zero != 0)
+            lo, hi, _ = jax.lax.fori_loop(
+                0, L, _lf_body(sdx, rank, tb["F"], qc, lens_, L), st)
+            k = _pos_pick(sdx, tb, "kval2",
+                          jnp.clip(hi, 0, sdx.n - 1)).astype(dt)
+            k = jnp.where(hi < lo, jnp.zeros((), dt), k)
+            return lo, hi, k
+
+        Bl = qc.shape[0]
+        base_body = _lf_body(sdx, rank, tb["F"], qc, lens_, L)
+        hi_rec0 = jnp.zeros((L, Bl), dtype=dt) + zero[None, :]
+
+        def body(j, st):
+            lo, hi, done, hi_rec = st
+            hi_rec = jax.lax.dynamic_update_index_in_dim(hi_rec, hi, j, 0)
+            lo, hi, done = base_body(j, (lo, hi, done))
+            return lo, hi, done, hi_rec
+
+        lo, hi, _, hi_rec = jax.lax.fori_loop(
+            0, L, body, (zero, zero + (sdx.n - 1), zero != 0, hi_rec0))
+
+        sym = _mk_sym(sdx, tb)(hi_rec.reshape(-1)).reshape(L, Bl)
+        csteps = qc[:, ::-1].T.astype(jnp.int32)
+        jidx = jnp.arange(L, dtype=dt)[:, None]
+        nontriv = (jidx < lens_[None, :]) & (sym != csteps)
+        t_star = jnp.max(jnp.where(nontriv, jidx, -1), axis=0)
+
+        sl = tb["big_samples_last"]
+        k0 = (sl[sdx.R - 1].astype(dt) + 1) % sdx.n
+        k_triv = (k0 - lens_) % sdx.n
+        ts = jnp.maximum(t_star, 0)
+        hi_ts = jnp.take_along_axis(hi_rec, ts[None, :], axis=0)[0]
+        c_ts = jnp.take_along_axis(csteps, ts[None, :], axis=0)[0].astype(dt)
+        rs = tb["big_run_start"]
+        r_ts = jnp.searchsorted(rs, hi_ts.astype(rs.dtype), side="right",
+                                method="scan_unrolled").astype(dt) - 1
+        keys = tb["big_cruns_keys"]
+        q = (c_ts * sdx.R + r_ts).astype(keys.dtype)
+        jc = jnp.searchsorted(keys, q, side="right",
+                              method="scan_unrolled").astype(dt) - 1
+        rr = keys[jnp.maximum(jc, 0)].astype(dt) - c_ts * sdx.R
+        k_at = sl[jnp.clip(rr, 0, sdx.R - 1)].astype(dt)
+        k_nt = (k_at - (lens_ - 1 - t_star)) % sdx.n
+        k = jnp.where(t_star < 0, k_triv, k_nt)
         k = jnp.where(hi < lo, jnp.zeros((), dt), k)
         return lo, hi, k
 
@@ -343,7 +450,10 @@ def find_ranges_w_toehold_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
 
 def locate_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex, tables: dict,
                          lo, hi, k, max_hits: int):
-    """Sharded phi walk: each hop is one owner-picked phi2 gather + psum."""
+    """Sharded phi walk: each hop is one owner-picked phi2 gather + psum; on
+    the big layout each hop is a searchsorted over the REPLICATED adjacency
+    breakpoint table (ops.rank.phi_step "phi_at" semantics) — collective-free."""
+    big = sdx.phi2 is None and sdx.big_tables is not None
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(_specs(tables), P("dp"), P("dp"), P("dp")),
@@ -353,11 +463,21 @@ def locate_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex, tables: dict,
         n_occ = jnp.clip(hi - lo + 1, 0, max_hits)
         locs = jnp.full((lo.shape[0], max_hits), -1, dtype=dt)
         locs = locs.at[:, 0].set(jnp.where(n_occ > 0, k, -1))
+        if big:
+            pp, pa = tb["big_pred_pos"], tb["big_phi_at"]
+
+            def phi(cur):
+                rk = jnp.searchsorted(pp, cur.astype(pp.dtype), side="right",
+                                      method="scan_unrolled").astype(dt) - 1
+                return (pa[rk].astype(dt) + (cur - pp[rk].astype(dt))) % sdx.n
+        else:
+            def phi(cur):
+                return _pos_pick(sdx, tb, "phi2",
+                                 jnp.clip(cur, 0, sdx.n - 1)).astype(dt)
 
         def body(j, st):
             locs, cur = st
-            cur = _pos_pick(sdx, tb, "phi2",
-                            jnp.clip(cur, 0, sdx.n - 1)).astype(dt)
+            cur = phi(cur)
             locs = locs.at[:, j].set(jnp.where(j < n_occ, cur, -1))
             return locs, cur
 
@@ -385,7 +505,7 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
     def run(tb, qc, lens):
         my = jax.lax.axis_index("idx")
         rank = _mk_rank(sdx, tb)
-        ms_at = _mk_ms(sdx, tb)
+        ms_at = _mk_ms_any(sdx, tb)
         dt = tb["F"].dtype
         F_ = tb["F"]
         m = lens.astype(dt)
@@ -449,7 +569,7 @@ def find_ranges_w_markers_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
         # value expansion against the entry-sharded mv2: per-slot entry ids
         # computed arithmetically, then ONE owner-pick psum (was W of them)
         entry, valid, used, total = U.window_entry_ids(ws.T, wc.T, nw, max_k)
-        vals = _mk_mv_pick(sdx, tb)(entry, valid)
+        vals = _mk_mv_any(sdx, tb)(entry, valid)
         buf = jnp.where(valid, vals, -1)
         one = jnp.ones((), dt)
         z = jnp.zeros((), dt)
@@ -490,7 +610,7 @@ def markers_greedy_seeding_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
                         P("dp")))
     def run(tb, qc, lens):
         rank = _mk_rank(sdx, tb)
-        ms_at = _mk_ms(sdx, tb)
+        ms_at = _mk_ms_any(sdx, tb)
         dt = tb["F"].dtype
         F_ = tb["F"]
         m = lens.astype(dt)
@@ -618,7 +738,7 @@ def markers_greedy_seeding_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex,
             used_s = U.tslot_set(used_s, sl, live, jnp.minimum(u + cnt, K))
             mcnt = U.tslot_set(mcnt, sl, live, U.tslot_get(mcnt, sl) + cnt)
         if values:
-            vals = _mk_mv_pick(sdx, tb)(eflat, evalid)
+            vals = _mk_mv_any(sdx, tb)(eflat, evalid)
             mvals = jnp.where(evalid, vals, -1)
         else:
             mvals = jnp.where(evalid, eflat.astype(jnp.int64), -1)

@@ -50,17 +50,34 @@ def main(argv=None):
         find_ranges_sharded_dense,
         find_ranges_w_markers_sharded_dense,
     )
+    from rowbowt_tpu.bigindex import BigIndex
+
     mesh = mh.global_mesh(n_idx=args.n_idx)
-    idx = RbtIndex.load(args.inpre, with_ma=args.markers)
-    if args.markers and idx.ma_row is None:
-        print("error: index has no marker array (build with -m)",
-              file=sys.stderr)
-        return 1
-    sdx = ShardedDenseIndex.build(idx, n_idx=args.n_idx)
-    if args.markers and sdx.ms2 is None:
-        print("error: index markers lack the dense ma_start1 table "
-              "(rebuild with dense=True)", file=sys.stderr)
-        return 1
+    if BigIndex.is_big_dir(args.inpre):
+        # the big two-level artifact: its superblock layout IS the shard
+        # layout (n_idx must equal n_sup); O(R)/O(M) aux tables replicate
+        idx = BigIndex.load(args.inpre)
+        if args.n_idx != idx.n_sup:
+            print(f"error: big artifact is packed for n_idx == {idx.n_sup} "
+                  f"(its superblock count); got --n-idx {args.n_idx}",
+                  file=sys.stderr)
+            return 1
+        if args.markers and not idx.has_markers:
+            print("error: index has no marker array (build with -m)",
+                  file=sys.stderr)
+            return 1
+        sdx = idx.sharded_index()
+    else:
+        idx = RbtIndex.load(args.inpre, with_ma=args.markers)
+        if args.markers and idx.ma_row is None:
+            print("error: index has no marker array (build with -m)",
+                  file=sys.stderr)
+            return 1
+        sdx = ShardedDenseIndex.build(idx, n_idx=args.n_idx)
+        if args.markers and sdx.ms2 is None:
+            print("error: index markers lack the dense ma_start1 table "
+                  "(rebuild with dense=True)", file=sys.stderr)
+            return 1
     tables = sdx.device_put(mesh)
     n_dp = mesh.shape["dp"]
     out = sys.stdout

@@ -287,3 +287,54 @@ def test_big_from_merge_order_parity(rand_index):
     lm, cm = locate(dxm, *rm, max_hits=5)
     np.testing.assert_array_equal(np.asarray(cb), np.asarray(cm))
     np.testing.assert_array_equal(np.asarray(lb), np.asarray(lm))
+
+
+def test_big_sharded_locate_and_markers_parity():
+    """The 8-way position-sharded engines (sharded LF + replicated O(R)/O(M)
+    tables) == the single-device big engine: toehold, phi-walk locate, and
+    greedy genotyping, buffer-exact on the virtual mesh."""
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate
+    from rowbowt_tpu.engine.seeds import markers_greedy_seeding
+    from rowbowt_tpu.index import pack_marker
+    from rowbowt_tpu.parallel.mesh import make_mesh
+    from rowbowt_tpu.parallel.sharded_dense import (
+        find_ranges_w_toehold_sharded_dense, locate_sharded_dense,
+        markers_greedy_seeding_sharded_dense,
+    )
+
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    big.attach_markers(sa, [m.text_pos for m in markers],
+                       [pack_marker(m.seq, m.pos, m.allele) for m in markers],
+                       idx.ma_wsize)
+    sdx = big.sharded_index()
+    assert sdx.big_tables is not None and sdx.kval2 is None
+    mesh = make_mesh(n_dp=2, n_idx=4)
+    tables = sdx.device_put(mesh)
+    dxb = big.device_index()
+    reads = _reads_of(text, np.random.default_rng(9), k=32)
+    qc, lens = encode_batch(idx, reads)
+    if qc.shape[0] % 2:  # lanes must divide the dp axis
+        qc = np.concatenate([qc, np.full((1, qc.shape[1]), -1, qc.dtype)])
+        lens = np.concatenate([lens, np.zeros(1, lens.dtype)])
+
+    slo, shi, sk = map(np.asarray, find_ranges_w_toehold_sharded_dense(
+        mesh, sdx, tables, qc, lens))
+    rlo, rhi, rk = map(np.asarray, find_ranges_w_toehold(dxb, qc, lens))
+    np.testing.assert_array_equal(slo, rlo)
+    np.testing.assert_array_equal(shi, rhi)
+    np.testing.assert_array_equal(sk, rk)
+
+    sl_, sc_ = map(np.asarray, locate_sharded_dense(
+        mesh, sdx, tables, rlo, rhi, rk, max_hits=5))
+    rl_, rc_ = map(np.asarray, locate(dxb, rlo, rhi, rk, max_hits=5))
+    np.testing.assert_array_equal(sc_, rc_)
+    np.testing.assert_array_equal(sl_, rl_)
+
+    gs = markers_greedy_seeding_sharded_dense(
+        mesh, sdx, tables, qc, lens, wsize=6, max_range=100,
+        max_seeds=4, max_k=8)
+    gr = markers_greedy_seeding(dxb, qc, lens, wsize=6, max_range=100,
+                                max_seeds=4, max_k=8, use_ftab=False)
+    for a, b in zip(gs, gr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

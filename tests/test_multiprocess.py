@@ -87,3 +87,76 @@ def test_two_process_sharded_stream(rand_index, tmp_path, markers):
             lo, hi = naive.find_range(idx, codes)
             cnt = hi - lo + 1 if hi >= lo else 0
             assert line.endswith(f"({lo},{hi}), count={cnt}"), (line, lo, hi)
+
+
+def test_two_process_sharded_stream_big_artifact(rand_index, tmp_path):
+    """The same two-process config-5 flow on a BIG-format (two-level) artifact:
+    sharded_stream auto-detects it, shards the fb tables n_idx == n_sup ways,
+    replicates the O(R)/O(M) aux tables, and streams FASTQ with markers."""
+    from rowbowt_tpu.bigindex import BigIndex
+    from rowbowt_tpu.engine import naive
+
+    idx, text = rand_index
+    run_len = np.diff(np.append(idx.run_start, idx.n))
+    codes = np.repeat(idx.run_head.astype(np.uint8), run_len)
+    sa = np.asarray(idx.kval).astype(np.uint32)
+    big = BigIndex.from_codes(codes, idx.alpha, n_sup=2)
+    big.attach_locate(codes, sa)
+    big.ma_row = np.asarray(idx.ma_row).astype(np.uint32)
+    big.ma_val = np.asarray(idx.ma_val)
+    big.ma_wsize = idx.ma_wsize
+    pre = str(tmp_path / "bigidx")
+    big.save(pre)
+    assert BigIndex.is_big_dir(pre)
+
+    rng = np.random.default_rng(37)
+    L = 20
+    reads = []
+    for _ in range(8):
+        p = int(rng.integers(0, len(text) - L))
+        reads.append(bytes(text[p:p + L]))
+    shards = [reads[:4], reads[4:]]
+    paths = []
+    for s, shard in enumerate(shards):
+        fq = tmp_path / f"shard{s}.fq"
+        with open(fq, "w") as f:
+            for i, r in enumerate(shard):
+                f.write(f"@s{s}r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+        paths.append(str(fq))
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=REPO,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "scripts", "sharded_stream.py"),
+             pre, paths[pid], "--n-idx", "2", "-b", "4",
+             "-m", "--wsize", str(idx.ma_wsize),
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out, err)
+        outs.append(out)
+
+    for pid in range(2):
+        lines = [l for l in outs[pid].splitlines() if l.startswith(f"s{pid}r")]
+        assert len(lines) == 4, outs[pid]
+        for i, (line, r) in enumerate(zip(lines, shards[pid])):
+            assert line.startswith(f"s{pid}r{i} ")
+            qcodes = idx.alpha.encode(np.frombuffer(r, np.uint8)).astype(np.int64)
+            lo, hi = naive.find_range(idx, qcodes)
+            cnt = hi - lo + 1 if hi >= lo else 0
+            assert line.endswith(f"({lo},{hi}), count={cnt}"), (line, lo, hi)
