@@ -46,7 +46,7 @@ def main(argv=None):
         eprint("error: index has no toehold SA (build with -s); "
                "rbt_locs needs locate support")
         return 1
-    dx = device_index(idx)
+    dx = device_index(idx, sa=True)
 
     import jax.numpy as jnp
 

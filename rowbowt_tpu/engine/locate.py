@@ -67,6 +67,56 @@ def find_ranges_w_toehold(dx: DeviceIndex, qcodes, lengths):
     return lo, hi, k
 
 
+def traj_nontrivial(dx: DeviceIndex, hi_rec, csteps, m):
+    """[L, B] mask: step j was a NON-trivial LF_w_loc step (BWT[hi] != c,
+    rowbowt.hpp:559-571) — bulk packed-word gathers, nothing in the loop."""
+    L = hi_rec.shape[0]
+    sym = R.bwt_sym(dx, hi_rec.reshape(-1)).reshape(hi_rec.shape)
+    jidx = jnp.arange(L, dtype=m.dtype)[:, None]
+    return (jidx < m[None, :]) & (sym != csteps)
+
+
+def traj_resolve_toehold(dx: DeviceIndex, hi_rec, csteps, nontriv, a, b):
+    """Toehold k = SA[hi after step b] for a search SPAN of steps [a, b]
+    (inclusive), restarted from the full range at step a — the O(R)
+    trajectory resolve shared by whole-read search (a=0), per-seed greedy
+    spans, and checkpoints.
+
+    hi_rec/csteps/nontriv are the [L, B] step records; a, b are [K, B] step
+    indices (K=1 for whole-read).  b < a (empty span) resolves to k0 minus
+    zero steps.  Returns k [K, B] int64; the caller masks failed lanes."""
+    dt = jnp.int64
+    L = hi_rec.shape[0]
+    jidx = jnp.arange(L, dtype=dt)[:, None]
+    # prefix max: last nontrivial step at or before each step
+    lastnt = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(nontriv, jidx, -1), axis=0)
+    bc = jnp.clip(b, 0, L - 1)
+    lnt = jnp.take_along_axis(lastnt, bc, axis=0)
+    valid_span = b >= a
+    t_star = jnp.where(valid_span & (lnt >= a), lnt, -1)
+
+    sl = dx.arrays["samples_last"]
+    k0 = (sl[dx.R - 1].astype(dt) + 1) % dx.n
+    steps_total = jnp.maximum(b - a + 1, 0)
+    k_triv = (k0 - steps_total) % dx.n
+
+    ts = jnp.clip(t_star, 0, L - 1)
+    hi_ts = jnp.take_along_axis(hi_rec, ts, axis=0)
+    c_ts = jnp.take_along_axis(csteps, ts, axis=0).astype(dt)
+    rs = dx.arrays["big_run_start"]
+    r_ts = jnp.searchsorted(rs, hi_ts.astype(rs.dtype), side="right",
+                            method="scan_unrolled").astype(dt) - 1
+    keys = dx.arrays["cruns_keys"]
+    q = (c_ts * dx.R + r_ts).astype(keys.dtype)
+    jc = jnp.searchsorted(keys, q, side="right",
+                          method="scan_unrolled").astype(dt) - 1
+    rr = keys[jnp.maximum(jc, 0)].astype(dt) - c_ts * dx.R
+    k_at = sl[jnp.clip(rr, 0, dx.R - 1)].astype(dt)
+    k_nt = (k_at - (b - t_star)) % dx.n
+    return jnp.where(t_star < 0, k_triv, k_nt)
+
+
 def _toehold_trajectory(dx: DeviceIndex, qcodes, lengths):
     """Toehold by trajectory postpass — the O(R) big-index path (n >= 2^31,
     no dense kval/ltk; bigindex.py run-space tables).
@@ -115,29 +165,10 @@ def _toehold_trajectory(dx: DeviceIndex, qcodes, lengths):
         0, L, body, (lo, hi, done, hi_rec))
 
     csteps = qcodes[:, ::-1].T.astype(jnp.int32)  # [L, B]: char of step j
-    sym = R.bwt_sym(dx, hi_rec.reshape(-1)).reshape(L, B)
-    jidx = jnp.arange(L, dtype=dt)[:, None]
-    nontriv = (jidx < m[None, :]) & (sym != csteps)
-    t_star = jnp.max(jnp.where(nontriv, jidx, -1), axis=0)  # [B]
-
-    k0 = (dx.arrays["samples_last"][dx.R - 1].astype(dt) + 1) % dx.n
-    k_triv = (k0 - m) % dx.n
-
-    ts = jnp.maximum(t_star, 0)
-    hi_ts = jnp.take_along_axis(hi_rec, ts[None, :], axis=0)[0]
-    c_ts = jnp.take_along_axis(csteps, ts[None, :], axis=0)[0].astype(dt)
-    rs = dx.arrays["big_run_start"]
-    r_ts = jnp.searchsorted(rs, hi_ts.astype(rs.dtype), side="right",
-                            method="scan_unrolled").astype(dt) - 1
-    keys = dx.arrays["cruns_keys"]
-    q = (c_ts * dx.R + r_ts).astype(keys.dtype)
-    jc = jnp.searchsorted(keys, q, side="right",
-                          method="scan_unrolled").astype(dt) - 1
-    rr = keys[jnp.maximum(jc, 0)].astype(dt) - c_ts * dx.R
-    k_at = dx.arrays["samples_last"][jnp.clip(rr, 0, dx.R - 1)].astype(dt)
-    k_nt = (k_at - (m - 1 - t_star)) % dx.n
-
-    k = jnp.where(t_star < 0, k_triv, k_nt)
+    nontriv = traj_nontrivial(dx, hi_rec, csteps, m)
+    k = traj_resolve_toehold(dx, hi_rec, csteps, nontriv,
+                             jnp.zeros((1, B), dtype=dt),
+                             (m - 1)[None, :])[0]
     k = jnp.where(hi < lo, jnp.zeros((), dtype=dt), k)
     return lo, hi, k
 

@@ -60,7 +60,10 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
     ssamp = jnp.zeros((S, B), dtype=dt)
     ns = jnp.zeros(B, dtype=dt)
     defer_k = "kval" in dx.arrays  # ssamp == SA[recorded hi]: one gather at the end
-    if defer_k:
+    # big (n >= 2^31) layout: no dense kval/ltk — plain LF loop + per-seed
+    # trajectory-span resolve (locate.traj_resolve_toehold) afterwards
+    defer_big = (not defer_k) and "cruns_keys" in dx.arrays
+    if defer_k or defer_big:
         plain = R.lf_step_auto(dx, prefer_fb96=True)
 
         def step(dx_, lo_, hi_, c_, k_):
@@ -99,9 +102,19 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
         return lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns
 
     st = (lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns)
-    lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns = jax.lax.fori_loop(
-        0, L, body, st
-    )
+    if defer_big:
+        def body_rec(j, st2):
+            inner, hi_rec = st2
+            hi_rec = jax.lax.dynamic_update_index_in_dim(
+                hi_rec, inner[1], j, 0)  # pre-step hi
+            return body(j, inner), hi_rec
+
+        st, hi_rec = jax.lax.fori_loop(
+            0, L, body_rec, (st, jnp.zeros((L, B), dtype=dt)))
+        lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns = st
+    else:
+        (lo, hi, plo, phi_, k, pk, ei, slo, shi, sqs, sqe, ssamp, ns
+         ) = jax.lax.fori_loop(0, L, body, st)
     # tail seed (rowbowt.hpp:252-254): qstart=0, qend=ei, from prev state
     emit = ei >= min_length
     rec = emit & (ns < S)
@@ -112,6 +125,21 @@ def seeds_greedy_w_sample(dx: DeviceIndex, qcodes, lengths, min_length: int,
     sqe = U.tslot_set(sqe, slot, rec, ei)
     ssamp = U.tslot_set(ssamp, slot, rec, pk)
     ns = ns + emit.astype(dt)
+    if defer_big:
+        # per-seed span [a, b]: seed covers query offsets [sqs, sqe) and each
+        # restarts from the full range, so its steps are m-sqe .. m-1-sqs;
+        # its toehold is the span's trajectory resolve (SA[shi])
+        from rowbowt_tpu.engine.locate import (
+            traj_nontrivial, traj_resolve_toehold,
+        )
+
+        csteps = qcodes[:, ::-1].T.astype(jnp.int32)
+        nontriv = traj_nontrivial(dx, hi_rec, csteps, m)
+        a = m[None, :] - sqe
+        b = m[None, :] - 1 - sqs
+        ssamp = traj_resolve_toehold(dx, hi_rec, csteps, nontriv, a, b
+                                     ).astype(dt)
+        ssamp = jnp.where(shi < slo, jnp.zeros((), dtype=dt), ssamp)
     slo, shi, sqs, sqe, ssamp = slo.T, shi.T, sqs.T, sqe.T, ssamp.T
     if defer_k:
         # toehold invariant: the sample of every recorded (slo, shi) is

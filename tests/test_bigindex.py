@@ -338,3 +338,40 @@ def test_big_sharded_locate_and_markers_parity():
                                 max_seeds=4, max_k=8, use_ftab=False)
     for a, b in zip(gs, gr):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_big_seeds_greedy_w_sample_parity():
+    """Per-seed toeholds via the trajectory-SPAN resolve (big layout) ==
+    the dense kval engine, and locate_from_longest_seed end to end."""
+    from rowbowt_tpu.engine.device import DeviceIndex
+    from rowbowt_tpu.engine.seeds import (
+        locate_from_longest_seed, seeds_greedy_w_sample,
+    )
+
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    dxb = big.device_index()
+    dxr = DeviceIndex.from_index(idx)
+    rng = np.random.default_rng(21)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for i in range(24):  # longer reads with a mutation: multiple seeds/lane
+        L = int(rng.integers(20, 60))
+        p = int(rng.integers(0, len(text) - L))
+        r = np.array(text[p:p + L])
+        r[int(rng.integers(0, L))] = acgt[int(rng.integers(0, 4))]
+        if np.isin(r, acgt).all():
+            reads.append(bytes(r))
+    qc, lens = encode_batch(idx, reads)
+    rb = [np.asarray(x) for x in seeds_greedy_w_sample(dxb, qc, lens,
+                                                       min_length=5)]
+    rr = [np.asarray(x) for x in seeds_greedy_w_sample(dxr, qc, lens,
+                                                       min_length=5)]
+    for name, a, b in zip(("slo", "shi", "sqs", "sqe", "ssamp", "ns"), rb, rr):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    lb, cb = map(np.asarray, locate_from_longest_seed(
+        dxb, *[np.asarray(x) for x in rb[:5]], rb[5], max_hits=4))
+    lr, cr = map(np.asarray, locate_from_longest_seed(
+        dxr, *[np.asarray(x) for x in rr[:5]], rr[5], max_hits=4))
+    np.testing.assert_array_equal(cb, cr)
+    np.testing.assert_array_equal(lb, lr)
