@@ -291,8 +291,11 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     cqs = jnp.zeros((C, B), dtype=dt)
     cqe = jnp.zeros((C, B), dtype=dt)
     ncp = jnp.zeros(B, dtype=dt)
+    cb = jnp.zeros((C, B), dtype=dt)  # last processed step per checkpoint
     defer_k = "kval" in dx.arrays  # per-checkpoint k = kval[chi] after the loop
-    if defer_k:
+    defer_big = (not defer_k) and "cruns_keys" in dx.arrays
+    hi_rec = jnp.zeros((L if defer_big else 1, B), dtype=dt)
+    if defer_k or defer_big:
         plain = R.lf_step_auto(dx)
 
         def step(dx_, lo_, hi_, c_, k_):
@@ -308,9 +311,12 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
         return U.tslot_set(arr, slot, mask, val)
 
     def body(j, st):
-        lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp = st
+        (lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp,
+         cb, hi_rec) = st
         c = qcodes[:, L - 1 - j].astype(dt)
         active = (~done) & (j < m)
+        if defer_big:
+            hi_rec = jax.lax.dynamic_update_index_in_dim(hi_rec, hi, j, 0)
         nlo, nhi, nk = step(dx, lo, hi, c, k)
         fail = active & (nlo > nhi)
         ok = active & ~fail
@@ -328,13 +334,16 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
         ck = put(ck, slot, rec, k)
         cqs = put(cqs, slot, rec, m - j)
         cqe = put(cqe, slot, rec, window_ei)
+        cb = put(cb, slot, rec, jnp.full_like(m, j))
         ncp = ncp + trig.astype(dt)
         window_ei = jnp.where(trig, m - j, window_ei)
-        return lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp
+        return (lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe,
+                ncp, cb, hi_rec)
 
-    st = (lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp)
-    (lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp
-     ) = jax.lax.fori_loop(0, L, body, st)
+    st = (lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp,
+          cb, hi_rec)
+    (lo, hi, k, done, failed, window_ei, clo, chi, ck, cqs, cqe, ncp, cb,
+     hi_rec) = jax.lax.fori_loop(0, L, body, st)
     # final push (rowbowt.hpp:604-608)
     fin = (~failed) & (hi >= lo) & ((m - 1) % wsize != 0) & (m > 0)
     slot = jnp.minimum(ncp, C - 1).astype(jnp.int32)
@@ -344,10 +353,19 @@ def find_ranges_w_toehold_chkpnts(dx: DeviceIndex, qcodes, lengths, wsize: int):
     ck = put(ck, slot, rec, k)
     cqs = put(cqs, slot, rec, jnp.zeros_like(m))
     cqe = put(cqe, slot, rec, m)
+    cb = put(cb, slot, rec, m - 1)
     ncp = ncp + fin.astype(dt)
     ncp = jnp.where(failed, 0, ncp)
     if defer_k:
         ck = R.toehold_from_range(dx, clo, chi)
+    elif defer_big:
+        # each checkpoint is a PREFIX of the single search (no restarts):
+        # span [0, recorded step]; resolve from the step records
+        csteps = qcodes[:, ::-1].T.astype(jnp.int32)
+        nontriv = traj_nontrivial(dx, hi_rec, csteps, m)
+        ck = traj_resolve_toehold(dx, hi_rec, csteps, nontriv,
+                                  jnp.zeros_like(cb), cb).astype(dt)
+        ck = jnp.where(chi < clo, jnp.zeros((), dtype=dt), ck)
     return clo.T, chi.T, ck.T, cqs.T, cqe.T, ncp
 
 

@@ -375,3 +375,28 @@ def test_big_seeds_greedy_w_sample_parity():
         dxr, *[np.asarray(x) for x in rr[:5]], rr[5], max_hits=4))
     np.testing.assert_array_equal(cb, cr)
     np.testing.assert_array_equal(lb, lr)
+
+
+def test_big_chkpnts_parity():
+    """find_range_w_toehold_chkpnts (rowbowt.hpp:575-611) on the big layout:
+    per-checkpoint toeholds via the prefix-span resolve == the dense engine."""
+    from rowbowt_tpu.engine.device import DeviceIndex
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold_chkpnts
+
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    dxb = big.device_index()
+    dxr = DeviceIndex.from_index(idx)
+    reads = _reads_of(text, np.random.default_rng(33), k=24)
+    qc, lens = encode_batch(idx, reads)
+    rb = find_ranges_w_toehold_chkpnts(dxb, qc, lens, wsize=5)
+    rr = find_ranges_w_toehold_chkpnts(dxr, qc, lens, wsize=5)
+    ncp = np.asarray(rr[5])
+    for name, a, b in zip(("clo", "chi", "ck", "cqs", "cqe"), rb, rr):
+        a, b = np.asarray(a), np.asarray(b)
+        # compare recorded slots only (unrecorded ck slots differ in fill)
+        for lane in range(a.shape[0]):
+            c = int(ncp[lane])
+            np.testing.assert_array_equal(a[lane, :c], b[lane, :c],
+                                          err_msg=f"{name} lane {lane}")
+    np.testing.assert_array_equal(np.asarray(rb[5]), ncp)
