@@ -145,6 +145,29 @@ def big_marker_tables(sa: np.ndarray, marker_tpos: np.ndarray,
     return rows[srt].astype(pos_dt), vals[srt]
 
 
+def marker_buckets(ma_row: np.ndarray, n: int, target_seg: int = 32):
+    """Bucket table for the marker-CSR lower bound: off[b] = first entry in
+    row bucket b (span 2^shift rows).  Cuts markers_bounds' dependent chain
+    from log2(M) (~27 at M=72M) to 1 bucket gather + ceil(log2(max segment))
+    binary-search gathers (~8) — the window probes sit INSIDE the LF loop, so
+    this chain length is the big marker engines' throughput (measured 8.7k ->
+    see BASELINE.md).  Returns (off u32/i64[nbuck+1], (shift, iters))."""
+    M = int(ma_row.shape[0])
+    if M == 0:
+        return np.zeros(2, dtype=np.uint32), (62, 1)
+    # bucket span targeting ~target_seg entries per bucket
+    shift = int(np.clip(round(np.log2(max(n, 2) / M * target_seg)), 6, 30))
+    nbuck = (n >> shift) + 1
+    bounds = (np.arange(nbuck + 1, dtype=np.int64) << shift)
+    off = np.searchsorted(ma_row, np.minimum(bounds, np.iinfo(ma_row.dtype).max
+                                             ).astype(ma_row.dtype),
+                          side="left")
+    max_seg = int(np.diff(off).max())
+    iters = max(1, int(np.ceil(np.log2(max_seg + 1))))
+    dt = np.uint32 if M < (1 << 32) else np.int64
+    return off.astype(dt), (shift, iters)
+
+
 @dataclasses.dataclass
 class BigIndex:
     fb2: np.ndarray  # int32[nb_pad, 24]
@@ -325,10 +348,13 @@ class BigIndex:
             arrs["pred_pos"] = jnp.asarray(self.pred_pos)
             arrs["phi_at"] = jnp.asarray(self.phi_at)
             arrs["cruns_keys"] = jnp.asarray(self.cruns_keys)
+        ma_bs = ()
         if with_markers:
             assert self.has_markers, "artifact stores no marker tables"
             arrs["ma_row"] = jnp.asarray(self.ma_row)
             arrs["ma_val"] = jnp.asarray(self.ma_val)
+            off, ma_bs = marker_buckets(self.ma_row, self.n)
+            arrs["ma_off"] = jnp.asarray(off)
         if self.doc_starts is not None:
             arrs["doc_starts"] = jnp.asarray(self.doc_starts.astype(np.int64))
         if device is not None:
@@ -336,7 +362,8 @@ class BigIndex:
         acgt = self.alpha.encode(np.frombuffer(b"ACGT", dtype=np.uint8))
         return DeviceIndex(arrays=arrs, n=self.n, R=R, A=self.A,
                            ma_wsize=self.ma_wsize,
-                           ftab_k=0, acgt_codes=tuple(int(c) for c in acgt))
+                           ftab_k=0, acgt_codes=tuple(int(c) for c in acgt),
+                           ma_bs=ma_bs)
 
     def sharded_index(self):
         """The position-sharded view (n_idx == n_sup shards) for mesh runs.
@@ -355,14 +382,16 @@ class BigIndex:
                   "phi_at": np.asarray(self.phi_at),
                   "cruns_keys": np.asarray(self.cruns_keys)}
             k0 = int((int(self.samples_last[-1]) + 1) % self.n)
+        ma_bs = ()
         if self.has_markers:
             bt = bt or {}
             bt["ma_row"] = np.asarray(self.ma_row)
             bt["ma_val"] = np.asarray(self.ma_val)
+            bt["ma_off"], ma_bs = marker_buckets(self.ma_row, self.n)
         return ShardedDenseIndex(
             fb3=np.ascontiguousarray(
                 self.fb2.reshape(self.n_sup, self.per_blk, -1)),
             base=self.base, F=self.F.astype(np.int64), n=self.n, A=self.A,
             n_idx=self.n_sup, per_blk=self.per_blk, k0=k0,
-            big_tables=bt, R=self.R, ma_wsize=self.ma_wsize,
+            big_tables=bt, R=self.R, ma_wsize=self.ma_wsize, ma_bs=ma_bs,
         )

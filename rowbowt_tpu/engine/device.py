@@ -28,17 +28,22 @@ class DeviceIndex:
     ma_wsize: int
     ftab_k: int
     acgt_codes: tuple  # index codes of A,C,G,T (or None entries when absent)
+    # (shift, iters) of the bucketed marker-CSR lower bound (big layout,
+    # ops.rank.markers_bounds): () when ma_start1/plain searchsorted serve
+    ma_bs: tuple = ()
 
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))
         leaves = tuple(self.arrays[k] for k in keys)
-        aux = (keys, self.n, self.R, self.A, self.ma_wsize, self.ftab_k, self.acgt_codes)
+        aux = (keys, self.n, self.R, self.A, self.ma_wsize, self.ftab_k,
+               self.acgt_codes, self.ma_bs)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        keys, n, R, A, ma_wsize, ftab_k, acgt = aux
-        return cls(dict(zip(keys, leaves)), n, R, A, ma_wsize, ftab_k, acgt)
+        keys, n, R, A, ma_wsize, ftab_k, acgt, ma_bs = aux
+        return cls(dict(zip(keys, leaves)), n, R, A, ma_wsize, ftab_k, acgt,
+                   ma_bs)
 
     @property
     def idx_dtype(self):

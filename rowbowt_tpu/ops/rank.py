@@ -404,6 +404,12 @@ def markers_bounds(dx: DeviceIndex, lo, hi):
         ms = arr["ma_start1"]
         s = ms[jnp.clip(lo, 0, dx.n)]
         e = ms[jnp.clip(hi + 1, 0, dx.n)]
+    elif "ma_off" in arr:
+        # bucketed lower bound (bigindex.marker_buckets): 1 bucket gather +
+        # iters binary-search gathers instead of log2(M) — this chain sits
+        # inside the marker engines' LF loop, so its length is throughput
+        s = _ms_bucketed(dx, jnp.clip(lo, 0, dx.n))
+        e = _ms_bucketed(dx, jnp.clip(hi + 1, 0, dx.n))
     else:
         mr = arr["ma_row"]  # may be u32 (big layout); cast through and back
         s = jnp.searchsorted(mr, jnp.clip(lo, 0, dx.n).astype(mr.dtype),
@@ -411,6 +417,28 @@ def markers_bounds(dx: DeviceIndex, lo, hi):
         e = jnp.searchsorted(mr, jnp.clip(hi + 1, 0, dx.n).astype(mr.dtype),
                              side="left", method="scan_unrolled").astype(lo.dtype)
     return s, jnp.maximum(e - s, 0)
+
+
+def _ms_bucketed(dx: DeviceIndex, i):
+    """ma_start1[i] (count of CSR entries with row < i) via the bucket table:
+    lower_bound restricted to i's bucket segment, a STATIC `iters`-step
+    branchless binary search (iters = ceil(log2(max segment)) at load)."""
+    shift, iters = dx.ma_bs
+    arr = dx.arrays
+    mr = arr["ma_row"]
+    off = arr["ma_off"]
+    b = jnp.clip(i >> shift, 0, off.shape[0] - 2).astype(jnp.int32)
+    lo = off[b].astype(i.dtype)
+    hi = off[b + 1].astype(i.dtype)
+    iv = i.astype(mr.dtype)
+    M1 = mr.shape[0] - 1
+    for _ in range(iters):
+        mid = (lo + hi) >> 1
+        v = mr[jnp.clip(mid, 0, M1).astype(jnp.int32)]
+        take = (v < iv) & (lo < hi)
+        hi = jnp.where(take | (lo >= hi), hi, mid)
+        lo = jnp.where(take, mid + 1, lo)
+    return lo
 
 
 def markers_at_range(dx: DeviceIndex, lo, hi, max_k: int):

@@ -65,8 +65,9 @@ class ShardedDenseIndex:
     # run-space toehold/phi tables and the O(M) marker CSR are REPLICATED
     # (20-300x smaller than the sharded fb3) — bigindex.py conventions
     big_tables: dict | None = None  # run_start/samples_last/pred_pos/phi_at/
-    #                                 cruns_keys[/ma_row/ma_val], numpy
+    #                                 cruns_keys[/ma_row/ma_val/ma_off], numpy
     R: int = 0
+    ma_bs: tuple = ()  # (shift, iters) of the bucketed marker lower bound
 
     @property
     def per_pos(self) -> int:
@@ -293,6 +294,25 @@ def _mk_ms_any(sdx: ShardedDenseIndex, tb):
     if "ms2" in tb:
         return _mk_ms(sdx, tb)
     mr = tb["big_ma_row"]
+    if "big_ma_off" in tb and sdx.ma_bs:
+        shift, iters = sdx.ma_bs
+        off = tb["big_ma_off"]
+        M1 = mr.shape[0] - 1
+
+        def ms_at(i):
+            b = jnp.clip(i >> shift, 0, off.shape[0] - 2).astype(jnp.int32)
+            lo = off[b].astype(i.dtype)
+            hi = off[b + 1].astype(i.dtype)
+            iv = i.astype(mr.dtype)
+            for _ in range(iters):
+                mid = (lo + hi) >> 1
+                v = mr[jnp.clip(mid, 0, M1).astype(jnp.int32)]
+                take = (v < iv) & (lo < hi)
+                hi = jnp.where(take | (lo >= hi), hi, mid)
+                lo = jnp.where(take, mid + 1, lo)
+            return lo
+
+        return ms_at
 
     def ms_at(i):
         return jnp.searchsorted(mr, i.astype(mr.dtype), side="left",

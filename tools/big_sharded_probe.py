@@ -73,13 +73,22 @@ def main():
 
     for n_dp in (1, 2):
         mesh = make_mesh(n_dp=n_dp, n_idx=8)
+        use = sdx
+        if n_dp > 1 and big.n > (1 << 31):
+            # count-only at dp=2: the replicated O(R)/O(M) aux tables
+            # materialize once per VIRTUAL device on the CPU mesh (16 copies
+            # ~ 90 GB at the real artifact's R) — a virtual-mesh artifact,
+            # not a design property; real chips hold one copy each
+            import dataclasses as _dc
+
+            use = _dc.replace(sdx, big_tables=None)
         t0 = time.perf_counter()
-        tables = sdx.device_put(mesh)
+        tables = use.device_put(mesh)
         print(f"[dp={n_dp} idx=8] device_put: {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         t0 = time.perf_counter()
         lo, hi = map(np.asarray,
-                     find_ranges_sharded_dense(mesh, sdx, tables, qc, ln))
+                     find_ranges_sharded_dense(mesh, use, tables, qc, ln))
         dt = time.perf_counter() - t0
         assert (lo == elo).all() and (hi == ehi).all(), \
             "sharded count != CPU engine at n > 2^31"
@@ -88,15 +97,15 @@ def main():
               f"(incl. compile); parity ok", file=sys.stderr)
         report[f"count_parity_dp{n_dp}"] = True
 
-        if not big.has_locate:
+        if not big.has_locate or use.big_tables is None:
             continue
         ek = np.load(os.path.join(CACHE, "expect_k.npy"))[:B]
         elocs = np.load(os.path.join(CACHE, "expect_locs4.npy"))[:B]
         t0 = time.perf_counter()
         tlo, thi, tk = map(np.asarray, find_ranges_w_toehold_sharded_dense(
-            mesh, sdx, tables, qc, ln))
+            mesh, use, tables, qc, ln))
         locs, cnt = map(np.asarray, locate_sharded_dense(
-            mesh, sdx, tables, jnp.asarray(tlo), jnp.asarray(thi),
+            mesh, use, tables, jnp.asarray(tlo), jnp.asarray(thi),
             jnp.asarray(tk), max_hits=4))
         dt = time.perf_counter() - t0
         assert (tk[ne] == ek[ne]).all(), "sharded toehold != merge-SA oracle"
@@ -115,7 +124,7 @@ def main():
         assert ((e - s)[ne] == emc[ne]).all()
         t0 = time.perf_counter()
         g = markers_greedy_seeding_sharded_dense(
-            mesh, sdx, tables, qc, ln, wsize=big.ma_wsize, max_range=1000,
+            mesh, use, tables, qc, ln, wsize=big.ma_wsize, max_range=1000,
             max_seeds=4, max_k=8)
         ns = np.asarray(g[6])
         dt = time.perf_counter() - t0
