@@ -24,6 +24,9 @@ sys.path.insert(0, REPO)
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".cache", "jaxcache"))
+
 from rowbowt_tpu.bigindex import BigIndex  # noqa: E402
 from rowbowt_tpu.engine.count import find_ranges  # noqa: E402
 
@@ -84,7 +87,9 @@ def main():
     lens = np.load(os.path.join(CACHE, "qlens.npy"))
     N, L = qcodes.shape
 
-    for nbatch in (1, 2, 4, 8):
+    # 1x131k omitted: a single 131k-lane fb2 batch wedges the axon tunnel
+    # (deterministic hang at first execution; 2x65k etc. run fine)
+    for nbatch in (2, 4, 8):
         B = N // nbatch
         q3 = jnp.asarray(qcodes[: nbatch * B].reshape(nbatch, B, L).astype(np.int32))
         l3 = jnp.asarray(lens[: nbatch * B].reshape(nbatch, B).astype(np.int32))
@@ -93,7 +98,7 @@ def main():
               f"{nbatch*B/t:>10,.0f} reads/s  {2*nbatch*B*L/t/1e6:7.1f} M ranks/s")
 
     rng = np.random.default_rng(7)
-    for nbatch, B in ((1, 131_072), (2, 65_536), (4, 32_768)):
+    for nbatch, B in ((2, 65_536), (4, 32_768)):
         i4 = jnp.asarray(rng.integers(0, nb, size=(nbatch, B), dtype=np.int32))
         tb = timeit(_chains, fbdev, nb, i4)
         g = 2 * nbatch * B * K / tb
