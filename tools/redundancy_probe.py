@@ -39,13 +39,12 @@ READ_LEN = 100
 
 
 def timeit(fn, *a, reps=3):
-    import jax
-
-    _ = jax.block_until_ready(fn(*a))
+    # int() readback: the axon tunnel no-ops block_until_ready (bench.py)
+    _ = int(fn(*a))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = jax.block_until_ready(fn(*a))
+        _ = int(fn(*a))
         best = min(best, time.perf_counter() - t0)
     return best
 
