@@ -530,6 +530,30 @@ def run_big() -> dict:
         out["markers_greedy_reads_per_s_big"] = round(n_reads_g / tg, 1)
         print(f"bench[big]: greedy markers {n_reads_g/tg:,.0f} reads/s "
               f"(fwd+rc)", file=sys.stderr)
+    _emit(out)
+
+    # ---- UNBOUNDED locate (rb_align -s contract) at n > 2^31: the ragged
+    # bucketed walk over the run-space breakpoint phi (each hop is a
+    # searchsorted over the replicated O(R) table, not a dense phi1 gather)
+    from rowbowt_tpu.engine.locate import locate_ragged
+
+    UB = 4096
+    ulens = np.full(UB, READ_LEN, dtype=np.int32)
+    ulens[:16] = 12  # ~n/4^12 ~ 140 hits/lane: exercises a wider bucket
+    uq = jnp.asarray(qcodes[:UB].astype(np.int32))
+    ul = jnp.asarray(ulens)
+    ulo2, uhi2, uk2 = map(np.asarray, find_ranges_w_toehold(dx, uq, ul))
+    flat, offs = locate_ragged(dx, ulo2, uhi2, uk2)  # warm bucket jits
+    tu = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        flat, offs = locate_ragged(dx, ulo2, uhi2, uk2)
+        tu = min(tu, time.perf_counter() - t0)
+    hits = int(offs[-1])
+    out["locate_unbounded_reads_per_s_big"] = round(UB / tu, 1)
+    out["locate_unbounded_hits_per_s_big"] = round(hits / tu, 0)
+    print(f"bench[big]: UNBOUNDED locate {UB/tu:,.0f} reads/s "
+          f"({hits:,} occs, {hits/tu/1e6:,.2f} M occs/s)", file=sys.stderr)
     return out
 
 
@@ -657,15 +681,23 @@ def main():
                            check=False)
 
     acc = {}
-    small = _run_worker("small", timeout=300, attempts=3, deadline=deadline)
+    # reserve wall-clock for the LATER configs: a wedged tunnel claim in an
+    # early worker (it happens; each attempt burns its full timeout) must not
+    # starve the big config's slot.  Warm-cache worker walls: small ~120s,
+    # chr ~300s, big ~300s.
+    have_big = os.path.exists(os.path.join(BIG_CACHE, "meta.json"))
+    reserve_after_small = 400 + (380 if have_big else 0)
+    small = _run_worker("small", timeout=300, attempts=3,
+                        deadline=deadline - reserve_after_small)
     if small:
         acc.update(small)
     _emit_final(acc)
-    chr_ = _run_worker("chr", timeout=420, attempts=2, deadline=deadline)
+    chr_ = _run_worker("chr", timeout=420, attempts=2,
+                       deadline=deadline - (360 if have_big else 0))
     if chr_:
         acc.update(chr_)
     _emit_final(acc)
-    if os.path.exists(os.path.join(BIG_CACHE, "meta.json")):
+    if have_big:
         big = _run_worker("big", timeout=560, attempts=2, deadline=deadline)
         if big:
             acc.update(big)
