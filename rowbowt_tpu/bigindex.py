@@ -338,6 +338,7 @@ class BigIndex:
             "F": jnp.asarray(self.F.astype(np.int64)),
         }
         R = 0
+        pp_bs = ()
         if with_locate:
             assert self.has_locate, "artifact stores no locate tables"
             R = self.R
@@ -348,6 +349,8 @@ class BigIndex:
             arrs["pred_pos"] = jnp.asarray(self.pred_pos)
             arrs["phi_at"] = jnp.asarray(self.phi_at)
             arrs["cruns_keys"] = jnp.asarray(self.cruns_keys)
+            pp_off, pp_bs = marker_buckets(np.asarray(self.pred_pos), self.n)
+            arrs["pp_off"] = jnp.asarray(pp_off)
         ma_bs = ()
         if with_markers:
             assert self.has_markers, "artifact stores no marker tables"
@@ -363,7 +366,7 @@ class BigIndex:
         return DeviceIndex(arrays=arrs, n=self.n, R=R, A=self.A,
                            ma_wsize=self.ma_wsize,
                            ftab_k=0, acgt_codes=tuple(int(c) for c in acgt),
-                           ma_bs=ma_bs)
+                           ma_bs=ma_bs, pp_bs=pp_bs)
 
     def sharded_index(self):
         """The position-sharded view (n_idx == n_sup shards) for mesh runs.
@@ -375,12 +378,15 @@ class BigIndex:
 
         bt = None
         k0 = 0
+        pp_bs = ()
         if self.has_locate:
             bt = {"run_start": np.asarray(self.run_start),
                   "samples_last": np.asarray(self.samples_last),
                   "pred_pos": np.asarray(self.pred_pos),
                   "phi_at": np.asarray(self.phi_at),
                   "cruns_keys": np.asarray(self.cruns_keys)}
+            bt["pp_off"], pp_bs = marker_buckets(np.asarray(self.pred_pos),
+                                                 self.n)
             k0 = int((int(self.samples_last[-1]) + 1) % self.n)
         ma_bs = ()
         if self.has_markers:
@@ -394,4 +400,5 @@ class BigIndex:
             base=self.base, F=self.F.astype(np.int64), n=self.n, A=self.A,
             n_idx=self.n_sup, per_blk=self.per_blk, k0=k0,
             big_tables=bt, R=self.R, ma_wsize=self.ma_wsize, ma_bs=ma_bs,
+            pp_bs=pp_bs,
         )

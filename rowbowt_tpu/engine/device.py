@@ -28,22 +28,24 @@ class DeviceIndex:
     ma_wsize: int
     ftab_k: int
     acgt_codes: tuple  # index codes of A,C,G,T (or None entries when absent)
-    # (shift, iters) of the bucketed marker-CSR lower bound (big layout,
-    # ops.rank.markers_bounds): () when ma_start1/plain searchsorted serve
+    # (shift, iters) of the bucketed lower bounds over the big layout's
+    # sorted tables (ops.rank.bucketed_lower_bound): ma_bs for the marker
+    # CSR, pp_bs for the phi breakpoint table; () when dense/plain serve
     ma_bs: tuple = ()
+    pp_bs: tuple = ()
 
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))
         leaves = tuple(self.arrays[k] for k in keys)
         aux = (keys, self.n, self.R, self.A, self.ma_wsize, self.ftab_k,
-               self.acgt_codes, self.ma_bs)
+               self.acgt_codes, self.ma_bs, self.pp_bs)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        keys, n, R, A, ma_wsize, ftab_k, acgt, ma_bs = aux
+        keys, n, R, A, ma_wsize, ftab_k, acgt, ma_bs, pp_bs = aux
         return cls(dict(zip(keys, leaves)), n, R, A, ma_wsize, ftab_k, acgt,
-                   ma_bs)
+                   ma_bs, pp_bs)
 
     @property
     def idx_dtype(self):

@@ -382,8 +382,14 @@ def phi_step(dx: DeviceIndex, i):
         # exact SA-adjacency breakpoint table (bigindex.big_locate_tables):
         # phi is piecewise i + const; pred_pos[0] == 0 so rk >= 0 always
         pp = arr["pred_pos"]
-        rk = jnp.searchsorted(pp, i.astype(pp.dtype), side="right",
-                              method="scan_unrolled").astype(i.dtype) - 1
+        if "pp_off" in arr:
+            # bucketed: 1 + iters gathers per hop instead of log2(R) ~ 28
+            shift, iters = dx.pp_bs
+            rk = bucketed_lower_bound(pp, arr["pp_off"], shift, iters,
+                                      i + 1) - 1
+        else:
+            rk = jnp.searchsorted(pp, i.astype(pp.dtype), side="right",
+                                  method="scan_unrolled").astype(i.dtype) - 1
         base = arr["phi_at"][rk].astype(i.dtype)
         return (base + (i - pp[rk].astype(i.dtype))) % dx.n
     pp = arr["pred_pos"]
@@ -419,26 +425,32 @@ def markers_bounds(dx: DeviceIndex, lo, hi):
     return s, jnp.maximum(e - s, 0)
 
 
-def _ms_bucketed(dx: DeviceIndex, i):
-    """ma_start1[i] (count of CSR entries with row < i) via the bucket table:
-    lower_bound restricted to i's bucket segment, a STATIC `iters`-step
-    branchless binary search (iters = ceil(log2(max segment)) at load)."""
-    shift, iters = dx.ma_bs
-    arr = dx.arrays
-    mr = arr["ma_row"]
-    off = arr["ma_off"]
-    b = jnp.clip(i >> shift, 0, off.shape[0] - 2).astype(jnp.int32)
-    lo = off[b].astype(i.dtype)
-    hi = off[b + 1].astype(i.dtype)
-    iv = i.astype(mr.dtype)
-    M1 = mr.shape[0] - 1
+def bucketed_lower_bound(vals, off, shift: int, iters: int, q):
+    """First index i with vals[i] >= q over a sorted value table, via its
+    bucket table (bigindex.marker_buckets): off[b] bounds the search to q's
+    2^shift-wide value bucket, then a STATIC `iters`-step branchless binary
+    search (iters = ceil(log2(max segment)) at build) finishes.  1 + iters
+    dependent gathers instead of log2(len(vals)) — the lever that makes
+    in-loop probes of the O(M)/O(R) big tables affordable (DESIGN.md)."""
+    b = jnp.clip(q >> shift, 0, off.shape[0] - 2).astype(jnp.int32)
+    lo = off[b].astype(q.dtype)
+    hi = off[b + 1].astype(q.dtype)
+    qv = q.astype(vals.dtype)
+    M1 = vals.shape[0] - 1
     for _ in range(iters):
         mid = (lo + hi) >> 1
-        v = mr[jnp.clip(mid, 0, M1).astype(jnp.int32)]
-        take = (v < iv) & (lo < hi)
+        v = vals[jnp.clip(mid, 0, M1).astype(jnp.int32)]
+        take = (v < qv) & (lo < hi)
         hi = jnp.where(take | (lo >= hi), hi, mid)
         lo = jnp.where(take, mid + 1, lo)
     return lo
+
+
+def _ms_bucketed(dx: DeviceIndex, i):
+    """ma_start1[i] (count of CSR entries with row < i) via the bucket table."""
+    shift, iters = dx.ma_bs
+    arr = dx.arrays
+    return bucketed_lower_bound(arr["ma_row"], arr["ma_off"], shift, iters, i)
 
 
 def markers_at_range(dx: DeviceIndex, lo, hi, max_k: int):

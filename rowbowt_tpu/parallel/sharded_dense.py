@@ -68,6 +68,7 @@ class ShardedDenseIndex:
     #                                 cruns_keys[/ma_row/ma_val/ma_off], numpy
     R: int = 0
     ma_bs: tuple = ()  # (shift, iters) of the bucketed marker lower bound
+    pp_bs: tuple = ()  # (shift, iters) of the bucketed phi-breakpoint bound
 
     @property
     def per_pos(self) -> int:
@@ -295,22 +296,13 @@ def _mk_ms_any(sdx: ShardedDenseIndex, tb):
         return _mk_ms(sdx, tb)
     mr = tb["big_ma_row"]
     if "big_ma_off" in tb and sdx.ma_bs:
+        from rowbowt_tpu.ops.rank import bucketed_lower_bound
+
         shift, iters = sdx.ma_bs
         off = tb["big_ma_off"]
-        M1 = mr.shape[0] - 1
 
         def ms_at(i):
-            b = jnp.clip(i >> shift, 0, off.shape[0] - 2).astype(jnp.int32)
-            lo = off[b].astype(i.dtype)
-            hi = off[b + 1].astype(i.dtype)
-            iv = i.astype(mr.dtype)
-            for _ in range(iters):
-                mid = (lo + hi) >> 1
-                v = mr[jnp.clip(mid, 0, M1).astype(jnp.int32)]
-                take = (v < iv) & (lo < hi)
-                hi = jnp.where(take | (lo >= hi), hi, mid)
-                lo = jnp.where(take, mid + 1, lo)
-            return lo
+            return bucketed_lower_bound(mr, off, shift, iters, i)
 
         return ms_at
 
@@ -485,11 +477,25 @@ def locate_sharded_dense(mesh: Mesh, sdx: ShardedDenseIndex, tables: dict,
         locs = locs.at[:, 0].set(jnp.where(n_occ > 0, k, -1))
         if big:
             pp, pa = tb["big_pred_pos"], tb["big_phi_at"]
+            if "big_pp_off" in tb and sdx.pp_bs:
+                from rowbowt_tpu.ops.rank import bucketed_lower_bound
 
-            def phi(cur):
-                rk = jnp.searchsorted(pp, cur.astype(pp.dtype), side="right",
-                                      method="scan_unrolled").astype(dt) - 1
-                return (pa[rk].astype(dt) + (cur - pp[rk].astype(dt))) % sdx.n
+                shift, iters = sdx.pp_bs
+                ppo = tb["big_pp_off"]
+
+                def phi(cur):
+                    rk = bucketed_lower_bound(pp, ppo, shift, iters,
+                                              cur + 1) - 1
+                    return (pa[rk].astype(dt)
+                            + (cur - pp[rk].astype(dt))) % sdx.n
+            else:
+                def phi(cur):
+                    rk = jnp.searchsorted(pp, cur.astype(pp.dtype),
+                                          side="right",
+                                          method="scan_unrolled"
+                                          ).astype(dt) - 1
+                    return (pa[rk].astype(dt)
+                            + (cur - pp[rk].astype(dt))) % sdx.n
         else:
             def phi(cur):
                 return _pos_pick(sdx, tb, "phi2",
