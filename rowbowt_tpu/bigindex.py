@@ -145,6 +145,46 @@ def big_marker_tables(sa: np.ndarray, marker_tpos: np.ndarray,
     return rows[srt].astype(pos_dt), vals[srt]
 
 
+def marker_nibble_rank(ma_row: np.ndarray, n: int,
+                       chunk: int = 1 << 26) -> np.ndarray | None:
+    """ONE-gather ma_start1: int32[n/64 + 1, 16] fused rows of
+    [entries-before-block ckpt | 8 packed u32 words of per-row 4-bit entry
+    counts | 7 pad] per 64 BWT rows — the same 64B/16-lane row shape as the
+    fb2_64 rank table (1 B/row; 2.4 GB at n=2.4G).  A 9-lane row measured
+    UNUSABLE through the axon tunnel: transfers of the [37.5M, 9] layout
+    deterministically stalled the device (two 900s timeouts), while the
+    padded 16-lane layout moves like fb2_64.
+
+    ms_at(i) = ckpt + SWAR nibble-SUM of counts below i's offset — the same
+    one-transaction profile as the fblock rank rows (ops.rank.rank_fblock),
+    replacing the 9-gather bucketed search in the marker engines' LF loops.
+
+    Returns None when any row holds > 15 entries (callers fall back to the
+    bucketed bound) — at wsize=10 that needs 16+ variants within one window,
+    absent from any real panel."""
+    M = int(ma_row.shape[0])
+    if M >= (1 << 31):
+        return None  # int32 checkpoint lanes
+    nb = (n + 63) >> 6
+    rows64 = np.zeros((nb + 1, 16), dtype=np.int32)
+    if M:
+        ur, cnt = np.unique(np.asarray(ma_row), return_counts=True)
+        if int(cnt.max()) > 15:
+            return None
+        words = np.zeros(nb * 8, dtype=np.uint32)
+        np.add.at(words, (ur >> 3).astype(np.int64),
+                  cnt.astype(np.uint32) << ((ur.astype(np.uint32) & 7) * 4))
+        rows64[:nb, 1:9] = words.reshape(nb, 8).view(np.int32)
+        del words
+        # exclusive cumulative entries before each 64-row block
+        bounds = np.minimum(np.arange(nb + 1, dtype=np.int64) << 6, n)
+        ck = np.searchsorted(np.asarray(ma_row),
+                             bounds.astype(ma_row.dtype), side="left")
+        assert int(ck[-1]) == M
+        rows64[:, 0] = ck.astype(np.int32)
+    return rows64
+
+
 def marker_buckets(ma_row: np.ndarray, n: int, target_seg: int = 32):
     """Bucket table for the marker-CSR lower bound: off[b] = first entry in
     row bucket b (span 2^shift rows).  Cuts markers_bounds' dependent chain
@@ -211,6 +251,28 @@ class BigIndex:
                       isa: np.ndarray | None = None) -> None:
         for k, v in big_locate_tables(codes, sa, isa=isa).items():
             setattr(self, k, v)
+
+    def _ma_cnt64(self) -> np.ndarray | None:
+        """The nibble-count marker rank rows, disk-cached next to the
+        artifact (like the fb2_64 repack); None on >15-entry rows.
+
+        OPT-IN via RBT_MA_NIB=1: on the axon-tunnel backend, adding this
+        table's ~2.4 GB to the device transfer set deterministically stalls
+        the device at the first execution (3/3 runs wedged with it, 0/1
+        without, identical code; 15 GB single allocations succeed, so it is
+        not HBM pressure).  The bucketed bound (marker_buckets) is the
+        default big marker path; the nibble kernel stays correct and tested
+        for backends without the transfer ceiling."""
+        if not os.environ.get("RBT_MA_NIB"):
+            return None
+        cache = (os.path.join(self.prefix, "ma_cnt64.npy")
+                 if self.prefix else None)
+        if cache and os.path.exists(cache):
+            return np.load(cache, mmap_mode="r")
+        nib = marker_nibble_rank(self.ma_row, self.n)
+        if nib is not None and cache:
+            np.save(cache, nib)
+        return nib
 
     def attach_markers(self, sa: np.ndarray, marker_tpos, marker_packed,
                        wsize: int, isa: np.ndarray | None = None) -> None:
@@ -356,8 +418,12 @@ class BigIndex:
             assert self.has_markers, "artifact stores no marker tables"
             arrs["ma_row"] = jnp.asarray(self.ma_row)
             arrs["ma_val"] = jnp.asarray(self.ma_val)
-            off, ma_bs = marker_buckets(self.ma_row, self.n)
-            arrs["ma_off"] = jnp.asarray(off)
+            nib = self._ma_cnt64()
+            if nib is not None:
+                arrs["ma_cnt64"] = jnp.asarray(nib)
+            else:  # > 15 entries on some row: the bucketed bound serves
+                off, ma_bs = marker_buckets(self.ma_row, self.n)
+                arrs["ma_off"] = jnp.asarray(off)
         if self.doc_starts is not None:
             arrs["doc_starts"] = jnp.asarray(self.doc_starts.astype(np.int64))
         if device is not None:

@@ -410,6 +410,11 @@ def markers_bounds(dx: DeviceIndex, lo, hi):
         ms = arr["ma_start1"]
         s = ms[jnp.clip(lo, 0, dx.n)]
         e = ms[jnp.clip(hi + 1, 0, dx.n)]
+    elif "ma_cnt64" in arr:
+        # ONE fused-row gather per probe (bigindex.marker_nibble_rank):
+        # checkpoint + SWAR nibble-sum, the chr dense path's cost profile
+        s = _ms_nibble(dx, jnp.clip(lo, 0, dx.n))
+        e = _ms_nibble(dx, jnp.clip(hi + 1, 0, dx.n))
     elif "ma_off" in arr:
         # bucketed lower bound (bigindex.marker_buckets): 1 bucket gather +
         # iters binary-search gathers instead of log2(M) — this chain sits
@@ -451,6 +456,29 @@ def _ms_bucketed(dx: DeviceIndex, i):
     shift, iters = dx.ma_bs
     arr = dx.arrays
     return bucketed_lower_bound(arr["ma_row"], arr["ma_off"], shift, iters, i)
+
+
+def _ms_nibble(dx: DeviceIndex, i):
+    """ma_start1[i] via the nibble-count fused rows: one 36B row gather
+    ([ckpt | 8 words of per-row 4-bit entry counts] per 64 BWT rows) + a VPU
+    SWAR nibble-sum of the counts below i's in-block offset."""
+    tab = dx.arrays["ma_cnt64"]  # [nb+1, 16] int32 (64B rows)
+    nb = tab.shape[0] - 1
+    isafe = jnp.clip(i, 0, dx.n)
+    blk = jnp.minimum(isafe >> 6, nb).astype(jnp.int32)
+    off = (isafe - (blk.astype(i.dtype) << 6)).astype(jnp.int32)
+    row = tab[blk]
+    ck = row[:, 0]
+    words = jax.lax.bitcast_convert_type(row[:, 1:9], jnp.uint32)  # [B, 8]
+    kn = jnp.clip(off[:, None]
+                  - 8 * jnp.arange(8, dtype=jnp.int32)[None, :], 0, 8)
+    mask = jnp.where(kn >= 8, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << (4 * kn.astype(jnp.uint32))) - 1)
+    t = words & mask
+    s1 = (t & jnp.uint32(0x0F0F0F0F)) + ((t >> 4) & jnp.uint32(0x0F0F0F0F))
+    per_word = (s1 * jnp.uint32(0x01010101)) >> 24  # sum of 4 bytes (<= 120)
+    inblk = jnp.sum(per_word.astype(jnp.int32), axis=1)
+    return (ck + inblk).astype(i.dtype)
 
 
 def markers_at_range(dx: DeviceIndex, lo, hi, max_k: int):

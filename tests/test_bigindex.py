@@ -400,3 +400,31 @@ def test_big_chkpnts_parity():
             np.testing.assert_array_equal(a[lane, :c], b[lane, :c],
                                           err_msg=f"{name} lane {lane}")
     np.testing.assert_array_equal(np.asarray(rb[5]), ncp)
+
+
+def test_marker_nibble_rank_matches_dense(monkeypatch):
+    """The one-gather nibble-count marker rank == dense ma_start1 at every
+    position, and the device markers path dispatches through it (opt-in:
+    the axon tunnel cannot carry the extra table, bigindex._ma_cnt64)."""
+    from rowbowt_tpu.bigindex import marker_nibble_rank
+    from rowbowt_tpu.index import pack_marker
+    from rowbowt_tpu.ops import rank as RK
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("RBT_MA_NIB", "1")
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    big.attach_markers(sa, [m.text_pos for m in markers],
+                       [pack_marker(m.seq, m.pos, m.allele) for m in markers],
+                       idx.ma_wsize)
+    nib = marker_nibble_rank(big.ma_row, big.n)
+    assert nib is not None
+    dxb = big.device_index()
+    assert "ma_cnt64" in dxb.arrays and "ma_off" not in dxb.arrays
+    i = jnp.arange(big.n + 1, dtype=jnp.int64)
+    got = np.asarray(RK._ms_nibble(dxb, i))
+    np.testing.assert_array_equal(got, np.asarray(idx.ma_start1).astype(np.int64))
+    # overflow guard: a row with 16 entries must refuse
+    fake = np.sort(np.concatenate([big.ma_row[:50],
+                                   np.full(16, 7, dtype=big.ma_row.dtype)]))
+    assert marker_nibble_rank(fake, big.n) is None
