@@ -686,19 +686,23 @@ def main():
     # starve the big config's slot.  Warm-cache worker walls: small ~120s,
     # chr ~300s, big ~300s.
     have_big = os.path.exists(os.path.join(BIG_CACHE, "meta.json"))
-    reserve_after_small = 400 + (380 if have_big else 0)
-    small = _run_worker("small", timeout=300, attempts=3,
+    # attempts > walls: the tunnel wedge (hang at claim, zero output) hits a
+    # large fraction of fresh processes on a bad day; each wedge burns its
+    # whole timeout, so shorter timeouts x more attempts maximizes the
+    # chance one attempt lands.  Warm walls: small ~160s, chr ~330s, big ~300s.
+    reserve_after_small = 380 + (440 if have_big else 0)
+    small = _run_worker("small", timeout=240, attempts=3,
                         deadline=deadline - reserve_after_small)
     if small:
         acc.update(small)
     _emit_final(acc)
-    chr_ = _run_worker("chr", timeout=420, attempts=2,
-                       deadline=deadline - (360 if have_big else 0))
+    chr_ = _run_worker("chr", timeout=380, attempts=3,
+                       deadline=deadline - (440 if have_big else 0))
     if chr_:
         acc.update(chr_)
     _emit_final(acc)
     if have_big:
-        big = _run_worker("big", timeout=560, attempts=2, deadline=deadline)
+        big = _run_worker("big", timeout=440, attempts=3, deadline=deadline)
         if big:
             acc.update(big)
         _emit_final(acc)
