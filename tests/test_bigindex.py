@@ -428,3 +428,32 @@ def test_marker_nibble_rank_matches_dense(monkeypatch):
     fake = np.sort(np.concatenate([big.ma_row[:50],
                                    np.full(16, 7, dtype=big.ma_row.dtype)]))
     assert marker_nibble_rank(fake, big.n) is None
+
+
+def test_big_locate_ragged_parity():
+    """The ragged unbounded walk (rb_align -s contract) on the big layout ==
+    the dense engine: same flat occurrence stream, same offsets."""
+    from rowbowt_tpu.engine.device import DeviceIndex
+    from rowbowt_tpu.engine.locate import find_ranges_w_toehold, locate_ragged
+
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    dxb = big.device_index()
+    dxr = DeviceIndex.from_index(idx)
+    rng = np.random.default_rng(41)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for _ in range(20):  # short reads: wide ranges, long phi chains
+        L = int(rng.integers(3, 10))
+        p = int(rng.integers(0, len(text) - L))
+        r = text[p:p + L]
+        if np.isin(r, acgt).all():
+            reads.append(bytes(r))
+    qc, lens = encode_batch(idx, reads)
+    rb = find_ranges_w_toehold(dxb, qc, lens)
+    fb_, ob = locate_ragged(dxb, *rb)
+    rr = find_ranges_w_toehold(dxr, qc, lens)
+    fr_, orr = locate_ragged(dxr, *rr)
+    np.testing.assert_array_equal(ob, orr)
+    np.testing.assert_array_equal(fb_, fr_)
+    assert ob[-1] > len(reads)  # short patterns actually fanned out
