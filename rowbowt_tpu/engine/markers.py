@@ -30,10 +30,13 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
     equals the reference's lf.markers vector order.  Lanes shorter than wsize
     return empty (reference warns and bails, rowbowt.hpp:299-302).
 
-    The LF loop records only each window's (marker offset, count) — two
-    gathers + two scalar scatters per step; marker VALUES are expanded after
-    the loop in ceil(L/wsize)+1 append passes, so the [B, K] value gathers
-    run ~wsize times less often than a probe-in-loop formulation.
+    The LF loop records only each window's RANGE (pure VPU slot writes — no
+    gathers beyond the LF itself); the (marker offset, count) probes run as
+    ONE bulk [W*B] markers_bounds after the loop, and marker VALUES expand
+    in one gather after that.  Deferring the probes out of the dependent
+    chain is what makes the O(M)-CSR (big) marker path affordable: its
+    bucketed lower bound costs ~9 dependent gathers per probe, which used
+    to ride EVERY LF step (masked lanes still gather).
     """
     B, L = qcodes.shape
     W = L // wsize + 2  # max windows incl. the final re-query
@@ -48,25 +51,24 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
     too_short = m < wsize
     done = too_short
     window_ei = m
-    # transposed [W, B] records: not lane-padded inside the loop carry
-    ws = jnp.zeros((W, B), dtype=dt)
-    wc = jnp.zeros((W, B), dtype=dt)
+    # transposed [W, B] RANGE records: not lane-padded inside the loop carry;
+    # unwritten slots hold the empty (1, 0) range -> count 0 at bulk probe
+    wlo = jnp.ones((W, B), dtype=dt)
+    whi = jnp.zeros((W, B), dtype=dt)
     nw = jnp.zeros(B, dtype=dt)
     lf = R.lf_step_auto(dx)
 
-    def record(lo, hi, gate, ws, wc, nw):
+    def record(lo, hi, gate, wlo, whi, nw):
         small = (hi - lo + 1) <= max_range
         do = gate & small
-        s, cnt = R.markers_bounds(dx, jnp.where(do, lo, 1), jnp.where(do, hi, 0))
-        cnt = jnp.where(do, cnt, 0).astype(dt)
         slot = jnp.minimum(nw, W - 1).astype(jnp.int32)
-        ws = U.tslot_set(ws, slot, do, s.astype(dt))
-        wc = U.tslot_set(wc, slot, do, cnt)
+        wlo = U.tslot_set(wlo, slot, do, lo)
+        whi = U.tslot_set(whi, slot, do, hi)
         nw = nw + do.astype(dt)
-        return ws, wc, nw
+        return wlo, whi, nw
 
     def body(j, st):
-        lo, hi, done, window_ei, ws, wc, nw = st
+        lo, hi, done, window_ei, wlo, whi, nw = st
         c = qcodes[:, L - 1 - j].astype(dt)
         active = (~done) & (j < m)
         nlo, nhi = lf(dx, lo, hi, c)
@@ -80,16 +82,23 @@ def find_ranges_w_markers(dx: DeviceIndex, qcodes, lengths, wsize: int,
         # window trigger (rowbowt.hpp:314-324)
         ok = active & ~empty
         trigger = ok & (window_ei - (m - j) >= wsize)
-        ws, wc, nw = record(lo, hi, trigger, ws, wc, nw)
+        wlo, whi, nw = record(lo, hi, trigger, wlo, whi, nw)
         window_ei = jnp.where(trigger, m - j, window_ei)
-        return lo, hi, done, window_ei, ws, wc, nw
+        return lo, hi, done, window_ei, wlo, whi, nw
 
-    lo, hi, done, window_ei, ws, wc, nw = jax.lax.fori_loop(
-        0, L, body, (lo, hi, done, window_ei, ws, wc, nw)
+    lo, hi, done, window_ei, wlo, whi, nw = jax.lax.fori_loop(
+        0, L, body, (lo, hi, done, window_ei, wlo, whi, nw)
     )
     # final re-query quirk (rowbowt.hpp:328-335)
     final = (~done) & (~too_short) & (hi >= lo) & ((m - 1) % wsize != 0)
-    ws, wc, nw = record(lo, hi, final, ws, wc, nw)
+    wlo, whi, nw = record(lo, hi, final, wlo, whi, nw)
+
+    # deferred bulk probe: ONE [W*B] markers_bounds outside the dependent
+    # chain (stale slots beyond nw are probed harmlessly and masked by
+    # window_entry_ids' nw bound, exactly as their stale counts were before)
+    s_flat, cnt_flat = R.markers_bounds(dx, wlo.reshape(-1), whi.reshape(-1))
+    ws = s_flat.reshape(W, B).astype(dt)
+    wc = cnt_flat.reshape(W, B).astype(dt)
 
     # expansion: per-slot entry ids computed arithmetically, then ONE value
     # gather (the W-pass right-append replay did W [B, K] gathers)

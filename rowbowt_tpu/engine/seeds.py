@@ -234,8 +234,11 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     # the batch rides the 128-lane minor dim, so loop-carrying them costs
     # their true size (a [B, W] layout pads W up to 128 lanes — the padding
     # traffic dominated this loop before; tools/greedy ablation + ops/update)
-    ws = jnp.zeros((W, B), dtype=dt)
-    wc = jnp.zeros((W, B), dtype=dt)
+    # RANGE records (probes are deferred to ONE bulk markers_bounds after
+    # the loop — at big scale the in-loop probe was ~9 masked gathers per
+    # step riding the dependent LF chain); unwritten slots = empty (1, 0)
+    wlo = jnp.ones((W, B), dtype=dt)
+    whi = jnp.zeros((W, B), dtype=dt)
     wseed = jnp.zeros((W, B), dtype=dt)
     nrec = jnp.zeros(B, dtype=dt)
     slo = jnp.full((S, B), 1, dtype=dt)
@@ -263,7 +266,7 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
     rpmiss = jnp.zeros(B, dtype=bool)
 
     def body(_, st):
-        (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+        (lo, hi, plo, phi_, i, seed_ei, window_ei, wlo, whi, wseed, nrec,
          slo, shi, sqs, sqe, ns, rp, rpmiss) = st
         active = i < m
         normal = active & (rp == 0)
@@ -283,12 +286,9 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
         thi = jnp.where(fail, phi_, nhi)
         do = w_trigger | f_probe
         go = do & ((thi - tlo + 1) <= max_range)
-        s_, cnt = R.markers_bounds(dx, jnp.where(go, tlo, 1),
-                                   jnp.where(go, thi, 0))
-        cnt = jnp.where(go, cnt, 0).astype(dt)
         slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
-        ws = U.tslot_set(ws, slot_r, go, s_.astype(dt))
-        wc = U.tslot_set(wc, slot_r, go, cnt)
+        wlo = U.tslot_set(wlo, slot_r, go, tlo)
+        whi = U.tslot_set(whi, slot_r, go, thi)
         wseed = U.tslot_set(wseed, slot_r, go, ns)
         nrec = nrec + go.astype(dt)
         window_ei = jnp.where(w_trigger, m - i - 1, window_ei)
@@ -339,25 +339,27 @@ def markers_greedy_seeding(dx: DeviceIndex, qcodes, lengths, wsize: int,
             plo = jnp.where(ok, nlo, plo)
             phi_ = jnp.where(ok, nhi, phi_)
             i = jnp.where(active, i + 1, i)
-        return (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
-                slo, shi, sqs, sqe, ns, rp, rpmiss)
+        return (lo, hi, plo, phi_, i, seed_ei, window_ei, wlo, whi, wseed,
+                nrec, slo, shi, sqs, sqe, ns, rp, rpmiss)
 
-    st = (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+    st = (lo, hi, plo, phi_, i, seed_ei, window_ei, wlo, whi, wseed, nrec,
           slo, shi, sqs, sqe, ns, rp, rpmiss)
-    (lo, hi, plo, phi_, i, seed_ei, window_ei, ws, wc, wseed, nrec,
+    (lo, hi, plo, phi_, i, seed_ei, window_ei, wlo, whi, wseed, nrec,
      slo, shi, sqs, sqe, ns, rp, rpmiss) = jax.lax.fori_loop(0, L, body, st)
 
     # final emission (rowbowt.hpp:477-481): fn(range, (m-i, seed_ei-1), mbuf)
     nonempty = hi >= lo
     f_probe = nonempty & (seed_ei - (m - i) >= wsize)
     go = f_probe & ((hi - lo + 1) <= max_range)
-    s_, cnt = R.markers_bounds(dx, jnp.where(go, lo, 1), jnp.where(go, hi, 0))
-    cnt = jnp.where(go, cnt, 0).astype(dt)
     slot_r = jnp.minimum(nrec, W - 1).astype(jnp.int32)
-    ws = U.tslot_set(ws, slot_r, go, s_.astype(dt))
-    wc = U.tslot_set(wc, slot_r, go, cnt)
+    wlo = U.tslot_set(wlo, slot_r, go, lo)
+    whi = U.tslot_set(whi, slot_r, go, hi)
     wseed = U.tslot_set(wseed, slot_r, go, ns)
     nrec = nrec + go.astype(dt)
+    # deferred bulk probe of every recorded window/seed range
+    s_flat, cnt_flat = R.markers_bounds(dx, wlo.reshape(-1), whi.reshape(-1))
+    ws = s_flat.reshape(W, B).astype(dt)
+    wc = cnt_flat.reshape(W, B).astype(dt)
     emit = m > 0
     rec = emit & (ns < S)
     slot = jnp.minimum(ns, S - 1).astype(jnp.int32)
