@@ -292,6 +292,40 @@ def run_config(name: str) -> dict:
     _emit(out)
 
     if name == "chr":
+        # config-4 proper: LONG reads (2 kb, 1% errors) greedy-seeded against
+        # the chr-scale index (BASELINE.md config 4 / tests/greedy_seeding).
+        # Runs BEFORE the unbounded-locate section and emits immediately: the
+        # round-4 driver record lost this key to a budget cut in a later
+        # section (VERDICT r4 weak #1).
+        LB, LL = 8192, 2000
+        text = np.load(os.path.join(cfg["cache"], "text.npy"), mmap_mode="r")
+        acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+        lstarts = rng.integers(0, len(text) - LL - 1, size=LB)
+        lreads = np.empty((LB, LL), dtype=np.uint8)
+        for i, s in enumerate(lstarts):
+            lreads[i] = text[s:s + LL]
+        bad = ~np.isin(lreads, acgt).all(axis=1)
+        lreads[bad] = lreads[np.flatnonzero(~bad)[0] if (~bad).any() else 0]
+        nerr = LL // 100
+        epos = rng.integers(0, LL, size=(LB, nerr))
+        echr = rng.choice(acgt, size=(LB, nerr))
+        lreads[np.arange(LB)[:, None], epos] = echr
+        lq = jnp.asarray(tab[lreads.astype(np.int64)].astype(np.int32))
+        ll = jnp.full(LB, LL, dtype=jnp.int32)
+
+        @jax.jit
+        def greedy_long(dx, q, ln, salt):
+            o = markers_greedy_seeding(
+                dx, q, ln + salt - salt, wsize=10, max_range=1000,
+                max_seeds=32, max_k=16, use_ftab=False)
+            return jnp.sum(o[5].astype(jnp.int64)) + jnp.sum(o[6].astype(jnp.int64))
+
+        tl2 = _timeit(lambda s: greedy_long(dx, lq, ll, s), 1)
+        out["greedy_long_reads_per_s_chr"] = round(LB / tl2, 1)
+        print(f"bench[chr]: greedy LONG reads (2 kb) {LB/tl2:,.0f} reads/s "
+              f"({LB*LL/tl2/1e6:,.1f} M chars/s)", file=sys.stderr)
+        _emit(out)
+
         # ---- UNBOUNDED locate (rb_align -s contract: stream every occurrence,
         # toehold_sa.hpp:37-49) through the ragged bucketed walk.  Mixed range
         # sizes on purpose: mostly 100 bp reads (~8 hits each) plus truncated
@@ -320,36 +354,6 @@ def run_config(name: str) -> dict:
         print(f"bench[chr]: UNBOUNDED locate {UB/tu:,.0f} reads/s "
               f"({hits:,} occs, {hits/tu/1e6:,.2f} M occs/s)", file=sys.stderr)
         _emit(out)
-
-        # config-4 proper: LONG reads (2 kb, 1% errors) greedy-seeded against
-        # the chr-scale index (BASELINE.md config 4 / tests/greedy_seeding)
-        LB, LL = 8192, 2000
-        text = np.load(os.path.join(cfg["cache"], "text.npy"), mmap_mode="r")
-        acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
-        lstarts = rng.integers(0, len(text) - LL - 1, size=LB)
-        lreads = np.empty((LB, LL), dtype=np.uint8)
-        for i, s in enumerate(lstarts):
-            lreads[i] = text[s:s + LL]
-        bad = ~np.isin(lreads, acgt).all(axis=1)
-        lreads[bad] = lreads[np.flatnonzero(~bad)[0] if (~bad).any() else 0]
-        nerr = LL // 100
-        epos = rng.integers(0, LL, size=(LB, nerr))
-        echr = rng.choice(acgt, size=(LB, nerr))
-        lreads[np.arange(LB)[:, None], epos] = echr
-        lq = jnp.asarray(tab[lreads.astype(np.int64)].astype(np.int32))
-        ll = jnp.full(LB, LL, dtype=jnp.int32)
-
-        @jax.jit
-        def greedy_long(dx, q, ln, salt):
-            o = markers_greedy_seeding(
-                dx, q, ln + salt - salt, wsize=10, max_range=1000,
-                max_seeds=32, max_k=16, use_ftab=False)
-            return jnp.sum(o[5].astype(jnp.int64)) + jnp.sum(o[6].astype(jnp.int64))
-
-        tl2 = _timeit(lambda s: greedy_long(dx, lq, ll, s), 1)
-        out["greedy_long_reads_per_s_chr"] = round(LB / tl2, 1)
-        print(f"bench[chr]: greedy LONG reads (2 kb) {LB/tl2:,.0f} reads/s "
-              f"({LB*LL/tl2/1e6:,.1f} M chars/s)", file=sys.stderr)
     return out
 
 
@@ -423,17 +427,25 @@ def run_big() -> dict:
     if _ensure_native():
         from rowbowt_tpu.cpu_backend import count_ranges_fb2
 
+        # Pinned protocol (VERDICT r4 weak #3: 29-45k spread was page-cache
+        # noise): materialize the mmapped tables into RAM once OUTSIDE the
+        # timed region (count_ranges_fb2's ascontiguousarray is then a no-op),
+        # then median of >= 5 trials with the spread recorded.
+        big.fb2 = np.ascontiguousarray(np.asarray(big.fb2))
         ncpu = 512
-        cdt = float("inf")
-        for _ in range(2):
+        trials = []
+        for _ in range(5):
             t0 = time.perf_counter()
             clo, chi = count_ranges_fb2(big, qcodes[:ncpu], lens[:ncpu])
-            cdt = min(cdt, time.perf_counter() - t0)
-        cpu_rps = ncpu / cdt
+            trials.append(ncpu / (time.perf_counter() - t0))
+        cpu_rps = float(np.median(trials))
+        spread = (max(trials) - min(trials)) / cpu_rps
         assert (slo[:ncpu] == clo).all(), "big accel != cpu fb2 baseline"
         out["vs_baseline_big"] = round(rps / cpu_rps, 3)
-        print(f"bench[big]: cpu-1t {cpu_rps:,.0f} reads/s "
-              f"(x{rps/cpu_rps:,.1f})", file=sys.stderr)
+        out["cpu_count_trials_big"] = [round(t, 0) for t in trials]
+        out["cpu_count_spread_big"] = round(spread, 3)
+        print(f"bench[big]: cpu-1t median {cpu_rps:,.0f} reads/s "
+              f"(spread {spread:.1%}, x{rps/cpu_rps:,.1f})", file=sys.stderr)
     _emit(out)
 
     # ---- v2 artifact: toehold locate + markers at n > 2^31 (round 4) ----

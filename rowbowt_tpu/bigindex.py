@@ -50,7 +50,7 @@ _SUP_SYMS_MAX = 1 << 30  # superblock symbol span: int32 checkpoints with 2x mar
 
 def big_locate_tables(codes: np.ndarray, sa: np.ndarray,
                       isa: np.ndarray | None = None,
-                      chunk: int = 1 << 26) -> dict[str, np.ndarray]:
+                      chunk: int = 1 << 26, A: int = 8) -> dict[str, np.ndarray]:
     """Run boundaries + O(R) run-space toehold/phi tables from the merged BWT
     code sequence and the full SA (any dtype; values < n).
 
@@ -90,7 +90,9 @@ def big_locate_tables(codes: np.ndarray, sa: np.ndarray,
     keys = run_head.astype(np.int64) * R + np.arange(R, dtype=np.int64)
     order = np.argsort(run_head, kind="stable")
     ck = keys[order]
-    key_dt = np.int32 if int(ck[-1]) < (1 << 31) else np.int64
+    # dtype must cover the QUERY ceiling (c*R + r goes up to A*R - 1 in
+    # traj_resolve_toehold), not just ck[-1]: a c with no runs still probes
+    key_dt = np.int32 if A * R < (1 << 31) else np.int64
 
     if isa is None:
         isa = np.empty(n, dtype=pos_dt)
@@ -145,9 +147,8 @@ def big_marker_tables(sa: np.ndarray, marker_tpos: np.ndarray,
     return rows[srt].astype(pos_dt), vals[srt]
 
 
-def marker_nibble_rank(ma_row: np.ndarray, n: int,
-                       chunk: int = 1 << 26) -> np.ndarray | None:
-    """ONE-gather ma_start1: int32[n/64 + 1, 16] fused rows of
+def marker_nibble_rank(ma_row: np.ndarray, n: int) -> np.ndarray | None:
+    """ONE-gather ma_start1: int32[n/64 + 1, 16] fused 64-byte rows of
     [entries-before-block ckpt | 8 packed u32 words of per-row 4-bit entry
     counts | 7 pad] per 64 BWT rows — the same 64B/16-lane row shape as the
     fb2_64 rank table (1 B/row; 2.4 GB at n=2.4G).  A 9-lane row measured
@@ -249,7 +250,7 @@ class BigIndex:
 
     def attach_locate(self, codes: np.ndarray, sa: np.ndarray,
                       isa: np.ndarray | None = None) -> None:
-        for k, v in big_locate_tables(codes, sa, isa=isa).items():
+        for k, v in big_locate_tables(codes, sa, isa=isa, A=self.A).items():
             setattr(self, k, v)
 
     def _ma_cnt64(self) -> np.ndarray | None:

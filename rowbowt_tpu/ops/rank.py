@@ -442,9 +442,12 @@ def bucketed_lower_bound(vals, off, shift: int, iters: int, q):
     hi = off[b + 1].astype(q.dtype)
     qv = q.astype(vals.dtype)
     M1 = vals.shape[0] - 1
+    # gather-index dtype must cover the table length: int32 wraps negative
+    # for >= 2^31-entry tables (the nibble path refuses those; this one serves)
+    mid_dt = jnp.int32 if vals.shape[0] < (1 << 31) else jnp.int64
     for _ in range(iters):
         mid = (lo + hi) >> 1
-        v = vals[jnp.clip(mid, 0, M1).astype(jnp.int32)]
+        v = vals[jnp.clip(mid, 0, M1).astype(mid_dt)]
         take = (v < qv) & (lo < hi)
         hi = jnp.where(take | (lo >= hi), hi, mid)
         lo = jnp.where(take, mid + 1, lo)
@@ -459,9 +462,9 @@ def _ms_bucketed(dx: DeviceIndex, i):
 
 
 def _ms_nibble(dx: DeviceIndex, i):
-    """ma_start1[i] via the nibble-count fused rows: one 36B row gather
-    ([ckpt | 8 words of per-row 4-bit entry counts] per 64 BWT rows) + a VPU
-    SWAR nibble-sum of the counts below i's in-block offset."""
+    """ma_start1[i] via the nibble-count fused rows: one 64B/16-lane row
+    gather ([ckpt | 8 words of per-row 4-bit entry counts | 7 pad] per 64 BWT
+    rows) + a VPU SWAR nibble-sum of the counts below i's in-block offset."""
     tab = dx.arrays["ma_cnt64"]  # [nb+1, 16] int32 (64B rows)
     nb = tab.shape[0] - 1
     isafe = jnp.clip(i, 0, dx.n)

@@ -319,9 +319,11 @@ def _mk_mv_any(sdx: ShardedDenseIndex, tb):
     if "mv2" in tb:
         return _mk_mv_pick(sdx, tb)
     mv = tb["big_ma_val"]
+    # int32 gather index only while the CSR fits; >= 2^31 entries need int64
+    e_dt = jnp.int32 if mv.shape[0] < (1 << 31) else jnp.int64
 
     def pick(entry, valid):
-        return mv[jnp.clip(entry, 0, mv.shape[0] - 1).astype(jnp.int32)]
+        return mv[jnp.clip(entry, 0, mv.shape[0] - 1).astype(e_dt)]
 
     return pick
 
