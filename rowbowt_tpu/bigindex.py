@@ -186,6 +186,46 @@ def marker_nibble_rank(ma_row: np.ndarray, n: int) -> np.ndarray | None:
     return rows64
 
 
+_PHI_POS = 480  # positions per 64B phi row: [ckpt i32 | 15 u32 bit words]
+
+
+def phi_pack_tables(pred_pos: np.ndarray, phi_at: np.ndarray, n: int):
+    """ONE-gather phi predecessor rank: (rows int32[nb, 16], delta).
+
+    The SA-adjacency breakpoint table (big_locate_tables) makes phi piecewise
+    i + const; a hop therefore needs only (a) the rank of i among the sorted
+    breakpoint positions and (b) that breakpoint's constant.  The positions
+    pack into a bitmap with fused checkpoints — 64-byte/16-lane rows of
+    [#breakpoints-before-row | 15 u32 words of per-position bits] per 480
+    text positions (0.13 B/position; same transaction profile as the fb2_64
+    rank rows) — so rank(i) is one row gather + a VPU popcount, and
+    phi(i) = (i + delta[rank-1]) mod n is one more element gather.  Replaces
+    the bucketed binary search's 1 + iters + 2 dependent gathers per hop
+    (ops.rank.phi_step's "phi_rows" branch vs its "phi_at" branch).
+
+    delta[r] = (phi_at[r] - pred_pos[r]) mod n, stored u32 below n = 2^32
+    and int64 beyond (the >= 2^32 regime keeps R small in any repetitive
+    panel, so the wider lanes cost little).  Requires #breakpoints < 2^31
+    (int32 checkpoint lanes).
+    """
+    Rp = int(pred_pos.shape[0])
+    assert Rp < (1 << 31), "int32 phi checkpoint lanes"
+    nb = n // _PHI_POS + 1
+    rows = np.zeros((nb + 1, 16), dtype=np.int32)
+    p = np.asarray(pred_pos).astype(np.int64)
+    words = np.zeros(nb * 15, dtype=np.uint32)
+    np.bitwise_or.at(words, p // _PHI_POS * 15 + (p % _PHI_POS) // 32,
+                     np.uint32(1) << (p % 32).astype(np.uint32))
+    rows[:nb, 1:] = words.reshape(nb, 15).view(np.int32)
+    del words
+    # breakpoints strictly before each row's first position
+    bounds = np.arange(nb + 1, dtype=np.int64) * _PHI_POS
+    rows[:, 0] = np.searchsorted(p, bounds, side="left").astype(np.int32)
+    dd = np.uint32 if n < (1 << 32) else np.int64
+    delta = ((np.asarray(phi_at).astype(np.int64) - p) % n).astype(dd)
+    return rows, delta
+
+
 def marker_buckets(ma_row: np.ndarray, n: int, target_seg: int = 32):
     """Bucket table for the marker-CSR lower bound: off[b] = first entry in
     row bucket b (span 2^shift rows).  Cuts markers_bounds' dependent chain
@@ -274,6 +314,24 @@ class BigIndex:
         if nib is not None and cache:
             np.save(cache, nib)
         return nib
+
+    def _phi_pack(self):
+        """The bitmap-rank phi tables (phi_pack_tables), disk-cached next to
+        the artifact like the fb2_64 repack; (None, None) when the breakpoint
+        count exceeds int32 checkpoints."""
+        if int(self.pred_pos.shape[0]) >= (1 << 31):
+            return None, None
+        rc = (os.path.join(self.prefix, "phi_rows.npy")
+              if self.prefix else None)
+        dc = (os.path.join(self.prefix, "phi_delta.npy")
+              if self.prefix else None)
+        if rc and os.path.exists(rc) and os.path.exists(dc):
+            return np.load(rc, mmap_mode="r"), np.load(dc, mmap_mode="r")
+        pr, pd = phi_pack_tables(self.pred_pos, self.phi_at, self.n)
+        if rc:
+            np.save(rc, pr)
+            np.save(dc, pd)
+        return pr, pd
 
     def attach_markers(self, sa: np.ndarray, marker_tpos, marker_packed,
                        wsize: int, isa: np.ndarray | None = None) -> None:
@@ -409,11 +467,19 @@ class BigIndex:
             # "run_start" for the run-space engines; big lanes must be int64
             arrs["big_run_start"] = jnp.asarray(self.run_start)
             arrs["samples_last"] = jnp.asarray(self.samples_last)
-            arrs["pred_pos"] = jnp.asarray(self.pred_pos)
-            arrs["phi_at"] = jnp.asarray(self.phi_at)
             arrs["cruns_keys"] = jnp.asarray(self.cruns_keys)
-            pp_off, pp_bs = marker_buckets(np.asarray(self.pred_pos), self.n)
-            arrs["pp_off"] = jnp.asarray(pp_off)
+            pr, pd = self._phi_pack()
+            if pr is not None:
+                # bitmap-rank phi: 2 dependent gathers per hop; pred_pos /
+                # phi_at / pp_off stay on disk (phi_pack_tables)
+                arrs["phi_rows"] = jnp.asarray(pr)
+                arrs["phi_delta"] = jnp.asarray(pd)
+            else:
+                arrs["pred_pos"] = jnp.asarray(self.pred_pos)
+                arrs["phi_at"] = jnp.asarray(self.phi_at)
+                pp_off, pp_bs = marker_buckets(np.asarray(self.pred_pos),
+                                               self.n)
+                arrs["pp_off"] = jnp.asarray(pp_off)
         ma_bs = ()
         if with_markers:
             assert self.has_markers, "artifact stores no marker tables"

@@ -85,6 +85,7 @@ _FB_ROW = _FB_CKPT + _FB_WORDS
 # the jax backend at import time, which breaks jax.distributed.initialize in
 # multi-process launchers that import engine modules before init
 _NIB_LOW = 0x11111111
+_PHI_POS = 480  # positions per 64B phi bitmap row (bigindex.phi_pack_tables)
 
 
 def _fb_rank_from_rows(row, off, c):
@@ -378,6 +379,27 @@ def phi_step(dx: DeviceIndex, i):
     arr = dx.arrays
     if "phi1" in arr:
         return arr["phi1"][jnp.clip(i, 0, dx.n - 1)]
+    if "phi_rows" in arr:
+        # bitmap-rank hop (bigindex.phi_pack_tables): ONE 64B row gather
+        # ([ckpt | 15 bit words] per 480 positions) + SWAR popcount gives the
+        # predecessor rank, one delta gather finishes — 2 dependent gathers
+        # per hop instead of the bucketed search's ~1 + iters + 2
+        rows_tab = arr["phi_rows"]
+        blk = (i // _PHI_POS).astype(jnp.int32)
+        off = (i - blk.astype(i.dtype) * _PHI_POS).astype(jnp.int32)
+        row = rows_tab[blk]  # [B, 16] int32
+        ck = row[:, 0]
+        words = jax.lax.bitcast_convert_type(row[:, 1:], jnp.uint32)  # [B,15]
+        # count bits with local index <= off: kn bits of word jw
+        kn = jnp.clip(off[:, None] + 1
+                      - 32 * jnp.arange(15, dtype=jnp.int32)[None, :], 0, 32)
+        mask = jnp.where(kn >= 32, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << kn.astype(jnp.uint32))
+                         - jnp.uint32(1))
+        inblk = jnp.sum(jax.lax.population_count(words & mask), axis=1)
+        rk = (ck + inblk.astype(jnp.int32)) - 1  # pred_pos[0]==0 -> rk >= 0
+        d = arr["phi_delta"][jnp.maximum(rk, 0)].astype(i.dtype)
+        return (i + d) % dx.n
     if "phi_at" in arr:
         # exact SA-adjacency breakpoint table (bigindex.big_locate_tables):
         # phi is piecewise i + const; pred_pos[0] == 0 so rk >= 0 always

@@ -457,3 +457,23 @@ def test_big_locate_ragged_parity():
     np.testing.assert_array_equal(ob, orr)
     np.testing.assert_array_equal(fb_, fr_)
     assert ob[-1] > len(reads)  # short patterns actually fanned out
+
+
+def test_phi_bitmap_rank_matches_breakpoint_table():
+    """The bitmap-rank phi (phi_pack_tables + phi_step "phi_rows" branch)
+    must equal the breakpoint-table phi at EVERY text position."""
+    import jax
+    import jax.numpy as jnp
+
+    from rowbowt_tpu.ops import rank as RK
+
+    idx, text, markers = _marker_fixture()
+    big, sa = _big_v2(idx)
+    rk = np.searchsorted(big.pred_pos, np.arange(big.n), side="right") - 1
+    exp = (big.phi_at.astype(np.int64)[rk]
+           + (np.arange(big.n) - big.pred_pos.astype(np.int64)[rk])) % big.n
+    dxb = big.device_index()
+    assert "phi_rows" in dxb.arrays and "pred_pos" not in dxb.arrays
+    got = np.asarray(jax.jit(RK.phi_step)(
+        dxb, jnp.arange(big.n, dtype=jnp.int64)))
+    np.testing.assert_array_equal(got, exp)
