@@ -150,4 +150,27 @@ int rbt_sais_u8(const uint8_t* t, i64* sa_out, i64 n) {
     sais_u8_run<int64_t>(t, sa_out, n);
   return 0;
 }
+
+// Suffix array over an INTEGER alphabet (values in [0, K)) — the PFP parse
+// string (construct/pfp.py).  A unique smallest sentinel is appended
+// internally and its SA row dropped, exactly like rbt_sais_u8.
+int rbt_sais_i32(const int32_t* t, i64* sa_out, i64 n, i64 K) {
+  if (n <= 0) return 0;
+  if (n + 1 < (i64)INT32_MAX && K + 2 < (i64)INT32_MAX) {
+    std::vector<int32_t> T((size_t)(n + 1));
+    for (i64 i = 0; i < n; ++i) T[(size_t)i] = t[i] + 1;
+    T[(size_t)n] = 0;
+    std::vector<int32_t> SA((size_t)(n + 1));
+    sais_rec<int32_t>(T.data(), SA.data(), (int32_t)(n + 1), (int32_t)(K + 1));
+    for (i64 i = 0; i < n; ++i) sa_out[i] = (i64)SA[(size_t)(i + 1)];
+  } else {
+    std::vector<i64> T((size_t)(n + 1));
+    for (i64 i = 0; i < n; ++i) T[(size_t)i] = (i64)t[i] + 1;
+    T[(size_t)n] = 0;
+    std::vector<i64> SA((size_t)(n + 1));
+    sais_rec<i64>(T.data(), SA.data(), n + 1, K + 1);
+    for (i64 i = 0; i < n; ++i) sa_out[i] = SA[(size_t)(i + 1)];
+  }
+  return 0;
+}
 }

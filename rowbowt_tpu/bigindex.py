@@ -440,7 +440,8 @@ class BigIndex:
             with_locate = self.has_locate
         if with_markers is None:
             with_markers = self.has_markers
-        if fb64:
+        lanes = int(self.fb2.shape[1])
+        if fb64 and lanes == 24:
             from rowbowt_tpu.construct.build import fblock_to_fb64
             key = "fb2_64"
             cache = (os.path.join(self.prefix, "fb2_64.npy")
@@ -452,7 +453,10 @@ class BigIndex:
                 if cache:
                     np.save(cache, fb)
         else:
-            key, fb = "fb2", np.ascontiguousarray(self.fb2)
+            # 40-lane rows are the 256-symbol giant layout; 24-lane the
+            # 128-symbol build layout (no 64B repack requested or possible)
+            key = {24: "fb2", 40: "fb2_256"}[lanes]
+            fb = np.ascontiguousarray(self.fb2)
         arrs = {
             key: jnp.asarray(fb),
             "fb2_base": jnp.asarray(self.base),

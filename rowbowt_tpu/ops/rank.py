@@ -189,9 +189,20 @@ def rank_fblock2(dx: DeviceIndex, i, c, key: str = "fb2", shift: int = 7):
     return jnp.where(c < 0, 0, v)
 
 
+def _fb2_key(dx: DeviceIndex):
+    """(key, shift) of the resident two-level layout: 64-symbol/64B rows when
+    repacked, 256-symbol/160B rows (the giant-config shape: 0.63 B/symbol so
+    a 10^10-symbol table fits HBM), else the 128-symbol/96B build rows."""
+    if "fb2_64" in dx.arrays:
+        return "fb2_64", 6
+    if "fb2_256" in dx.arrays:
+        return "fb2_256", 8
+    return "fb2", 7
+
+
 def lf_step_fblock2(dx: DeviceIndex, lo, hi, c):
     """Batched LF over the two-level table: int64 range arithmetic."""
-    key, shift = ("fb2_64", 6) if "fb2_64" in dx.arrays else ("fb2", 7)
+    key, shift = _fb2_key(dx)
     c_before = rank_fblock2(dx, lo, c, key, shift)
     c_inside = rank_fblock2(dx, hi + 1, c, key, shift) - c_before
     nlo = _f_onehot(dx, c).astype(lo.dtype) + c_before
@@ -279,7 +290,7 @@ def lf_step_auto(dx: DeviceIndex, prefer_fb96: bool = False):
         return lf_step_fblock64
     if "fblock" in dx.arrays:
         return lf_step_fblock
-    if "fb2" in dx.arrays or "fb2_64" in dx.arrays:
+    if "fb2" in dx.arrays or "fb2_64" in dx.arrays or "fb2_256" in dx.arrays:
         return lf_step_fblock2
     if "occ1_flat" in dx.arrays:
         return lf_step_occ1
@@ -566,7 +577,7 @@ def bwt_sym(dx: DeviceIndex, i):
     clamped; callers mask."""
     arr = dx.arrays
     for key, shift in (("fb2_64", 6), ("fblock64", 6),
-                       ("fb2", 7), ("fblock", 7)):
+                       ("fb2_256", 8), ("fb2", 7), ("fblock", 7)):
         if key in arr:
             tab = arr[key]
             break
