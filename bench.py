@@ -139,6 +139,74 @@ def _sample_reads(cfg, rng, n_reads):
     return reads
 
 
+def _cpu_big_view(idx):
+    """BigIndex-shaped fb2 view of an RbtIndex for the CPU workload baselines
+    (native/cpu_engine.cpp works over the two-level tables at every scale).
+    The phi breakpoint table comes straight from the dense phi1."""
+    from rowbowt_tpu.bigindex import BigIndex
+
+    run_len = np.diff(np.append(np.asarray(idx.run_start), idx.n))
+    codes = np.repeat(np.asarray(idx.run_head).astype(np.uint8), run_len)
+    big = BigIndex.from_codes(codes, idx.alpha)
+    del codes
+    big.run_start = np.asarray(idx.run_start)
+    big.run_head = np.asarray(idx.run_head).astype(np.uint8)
+    big.samples_last = np.asarray(idx.samples_last)
+    phi1 = np.asarray(idx.phi1).astype(np.int64)
+    bp = np.flatnonzero(np.diff(phi1) != 1) + 1
+    if bp.size == 0 or bp[0] != 0:
+        bp = np.concatenate(([0], bp))
+    big.pred_pos = bp
+    big.phi_at = phi1[bp]
+    R = idx.R
+    keys = (np.asarray(idx.run_head).astype(np.int64) * R
+            + np.arange(R, dtype=np.int64))
+    big.cruns_keys = keys[np.argsort(np.asarray(idx.run_head), kind="stable")]
+    big.ma_row = np.asarray(idx.ma_row)
+    big.ma_val = np.asarray(idx.ma_val)
+    return big
+
+
+def _cpu_workloads(big, out, name, qcodes, rc_codes, lens, ncpu):
+    """Single-thread CPU locate/markers/greedy baselines (VERDICT r4 #5:
+    every workload gets a vs_CPU multiple, not just count).  Records
+    cpu_*_reads_per_s and the *_vs_baseline ratios against the device
+    numbers already in `out`."""
+    from rowbowt_tpu import cpu_backend
+
+    q = qcodes[:ncpu].astype(np.int16)
+    qr = rc_codes[:ncpu].astype(np.int16)
+    ln = lens[:ncpu].astype(np.int32)
+
+    def best2(fn):
+        t = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            t = min(t, time.perf_counter() - t0)
+        return t
+
+    tl = best2(lambda: cpu_backend.locate_fb2(big, q, ln, max_hits=4))
+    out[f"cpu_locate_reads_per_s_{name}"] = round(ncpu / tl, 1)
+    tm = best2(lambda: cpu_backend.markers_fb2(big, q, ln, wsize=10,
+                                               max_range=1000))
+    out[f"cpu_markers_reads_per_s_{name}"] = round(ncpu / tm, 1)
+    tg = best2(lambda: (cpu_backend.greedy_fb2(big, q, ln, 10, 1000),
+                        cpu_backend.greedy_fb2(big, qr, ln, 10, 1000)))
+    out[f"cpu_greedy_reads_per_s_{name}"] = round(ncpu / tg, 1)
+    for dev_key, cpu_key, ratio_key in (
+            (f"locate_reads_per_s_{name}", f"cpu_locate_reads_per_s_{name}",
+             f"locate_vs_baseline_{name}"),
+            (f"markers_reads_per_s_{name}", f"cpu_markers_reads_per_s_{name}",
+             f"markers_vs_baseline_{name}"),
+            (f"markers_greedy_reads_per_s_{name}",
+             f"cpu_greedy_reads_per_s_{name}", f"greedy_vs_baseline_{name}")):
+        if out.get(dev_key) and out.get(cpu_key):
+            out[ratio_key] = round(out[dev_key] / out[cpu_key], 3)
+    print(f"bench[{name}]: cpu-1t locate {ncpu / tl:,.0f} markers "
+          f"{ncpu / tm:,.0f} greedy {ncpu / tg:,.0f} reads/s", file=sys.stderr)
+
+
 def _timeit(fn, *a, reps=3):
     """min-of-reps wall time; int() readback truly syncs the axon tunnel."""
     _ = int(fn(*a))
@@ -354,6 +422,17 @@ def run_config(name: str) -> dict:
         print(f"bench[chr]: UNBOUNDED locate {UB/tu:,.0f} reads/s "
               f"({hits:,} occs, {hits/tu/1e6:,.2f} M occs/s)", file=sys.stderr)
         _emit(out)
+
+    # ---- CPU baselines for every workload (after all device metrics so a
+    # budget cut here costs nothing measured above) ----
+    if have_native and idx.phi1 is not None:
+        t0 = time.perf_counter()
+        bigv = _cpu_big_view(idx)
+        print(f"bench[{name}]: cpu fb2 view built in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        _cpu_workloads(bigv, out, name, qcodes, np.asarray(rc), lengths,
+                       4096 if name == "small" else 1024)
+        _emit(out)
     return out
 
 
@@ -566,6 +645,21 @@ def run_big() -> dict:
     out["locate_unbounded_hits_per_s_big"] = round(hits / tu, 0)
     print(f"bench[big]: UNBOUNDED locate {UB/tu:,.0f} reads/s "
           f"({hits:,} occs, {hits/tu/1e6:,.2f} M occs/s)", file=sys.stderr)
+    _emit(out)
+
+    # ---- CPU baselines for locate/markers/greedy at n > 2^31 ----
+    if _ensure_native():
+        tabb = big.alpha.encode_table()
+        comp = np.full(16, -1, dtype=np.int64)
+        for x, y in zip(b"ACGT", b"TGCA"):
+            cx, cy = int(tabb[x]), int(tabb[y])
+            if cx >= 0 and cy >= 0:
+                comp[cx] = cy
+        fwd = qcodes[:512].astype(np.int64)
+        rcq = np.where(fwd[:, ::-1] >= 0, comp[np.maximum(fwd[:, ::-1], 0)],
+                       -1)
+        _cpu_workloads(big, out, "big", qcodes, rcq, lens, 512)
+    _emit(out)
     return out
 
 

@@ -190,3 +190,63 @@ def test_pallas_lf_interpret_parity(text, reads):
         pl.pallas_call = orig
     np.testing.assert_array_equal(np.asarray(lo0), np.asarray(lo1))
     np.testing.assert_array_equal(np.asarray(hi0), np.asarray(hi1))
+
+
+def test_cpu_fb2_engines_match_naive():
+    """The single-thread CPU locate/markers/greedy engines (bench baselines,
+    native/cpu_engine.cpp) == the naive reference spec, read by read."""
+    import pytest
+
+    from rowbowt_tpu import cpu_backend
+    from rowbowt_tpu.bigindex import BigIndex
+    from rowbowt_tpu.engine import naive
+
+    from tests.test_bigindex import _marker_fixture
+
+    if not cpu_backend.available():
+        pytest.skip("no native lib")
+    idx, text, markers = _marker_fixture()
+    run_len = np.diff(np.append(idx.run_start, idx.n))
+    codes = np.repeat(idx.run_head.astype(np.uint8), run_len)
+    big = BigIndex.from_codes(codes, idx.alpha, n_sup=3)
+    big.attach_locate(codes, np.asarray(idx.kval).astype(np.uint32))
+    big.ma_row = np.asarray(idx.ma_row).astype(np.uint32)
+    big.ma_val = np.asarray(idx.ma_val)
+    big.ma_wsize = idx.ma_wsize
+
+    rng = np.random.default_rng(123)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    while len(reads) < 30:
+        L = int(rng.integers(8, 40))
+        s = int(rng.integers(0, len(text) - L))
+        r = text[s:s + L]
+        if np.isin(r, acgt).all():
+            reads.append(r)
+    stride = max(len(r) for r in reads)
+    qc = np.full((len(reads), stride), -1, dtype=np.int16)
+    lens = np.zeros(len(reads), dtype=np.int32)
+    tab = idx.alpha.encode_table()
+    for i, r in enumerate(reads):
+        qc[i, stride - len(r):] = tab[r.astype(np.int64)]
+        lens[i] = len(r)
+
+    lo, hi, k, locs, cnt = cpu_backend.locate_fb2(big, qc, lens, max_hits=5)
+    mlo, mhi, mcnt = cpu_backend.markers_fb2(big, qc, lens, wsize=6,
+                                             max_range=200)
+    gns, gmc = cpu_backend.greedy_fb2(big, qc, lens, wsize=6, max_range=200)
+    for i, r in enumerate(reads):
+        cr = tab[r.astype(np.int64)].astype(np.int64)
+        (nlo, nhi), nk = naive.find_range_w_toehold(idx, cr)
+        assert (lo[i], hi[i], k[i]) == (nlo, nhi, nk), (i, r)
+        nl = naive.locate_range(idx, nlo, nhi, nk, 5) if nhi >= nlo else []
+        got = [x for x in locs[i] if x >= 0]
+        assert got == nl, (i, got, nl)
+        lf = naive.find_range_w_markers(idx, cr, 6, 200)
+        assert mcnt[i] == len(lf.markers), (i, mcnt[i], len(lf.markers))
+        seeds = []
+        naive.get_markers_greedy_seeding(
+            idx, cr, 6, 200, lambda rn, span, mb: seeds.append(len(mb)),
+            use_ftab=False)
+        assert gns[i] == len(seeds), (i, gns[i], len(seeds))
+        assert gmc[i] == sum(seeds), (i, gmc[i], sum(seeds))
