@@ -33,6 +33,7 @@ CFG = {
                 ref_len=20_000_000, n_haps=7, n_vars=60_000, seed=4321),
 }
 BIG_CACHE = os.path.join(REPO, ".cache", "bench_idx_big")
+GIANT_CACHE = os.path.join(REPO, ".cache", "bench_idx_giant")
 N_READS = 262_144
 READ_LEN = 100
 # 4 sequential loops of 65k lanes beat one 262k loop 1.47x on v5e — the scan
@@ -663,6 +664,228 @@ def run_big() -> dict:
     return out
 
 
+def run_giant() -> dict:
+    """The n = 10^10 / 513-document PFP-built artifact (BASELINE config 5
+    scale on one chip): count, toehold locate, markers, greedy genotyping,
+    unbounded locate — every capability, one worker, one ~9.3 GB device set
+    (fb2_256 + bitmap-phi locate tables + marker CSR; under the axon
+    transfer ceiling).  Parity is the ANALYTIC carry-matrix oracle recorded
+    by scripts/build_giant_index.py — independent of the construction."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".cache", "jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from rowbowt_tpu.bigindex import BigIndex
+    from rowbowt_tpu.engine.count import find_ranges
+    from rowbowt_tpu.engine.locate import (find_ranges_w_toehold, locate,
+                                           locate_ragged)
+    from rowbowt_tpu.engine.markers import find_ranges_w_markers
+    from rowbowt_tpu.engine.seeds import markers_greedy_seeding
+    from rowbowt_tpu.ops import rank as RK
+
+    big = BigIndex.load(GIANT_CACHE)
+    out = {"n_giant": big.n, "R_giant": big.R}
+    bs_path = os.path.join(GIANT_CACHE, "build_stats.json")
+    if os.path.exists(bs_path):
+        with open(bs_path) as f:
+            bs = json.load(f)
+        out["build_wall_s_giant"] = bs.get("wall_s")
+        out["build_peak_rss_gb_giant"] = bs.get("peak_rss_gb")
+    ld = lambda k: np.load(os.path.join(GIANT_CACHE, k))  # noqa: E731
+    qcodes = ld("qcodes.npy")
+    lens = ld("qlens.npy")
+    exp_lo, exp_hi, exp_cnt = ld("expect_lo.npy"), ld("expect_hi.npy"), \
+        ld("expect_cnt.npy")
+    pos_flat, pos_off = ld("expect_pos_flat.npy"), ld("expect_pos_off.npy")
+    mval_flat, mval_off = ld("expect_mval_flat.npy"), ld("expect_mval_off.npy")
+    npar = exp_lo.shape[0]
+    print(f"bench[giant]: n={big.n:,} R={big.R:,} "
+          f"M={big.ma_row.shape[0]:,} (PFP-built, "
+          f"{out.get('build_wall_s_giant')}s)", file=sys.stderr)
+    t0 = time.perf_counter()
+    dx = big.device_index()
+    jax.block_until_ready(dx.arrays["fb2_256"])
+    out["hbm_load_s_giant"] = round(time.perf_counter() - t0, 1)
+    print(f"bench[giant]: device {jax.devices()[0]}, HBM load "
+          f"{out['hbm_load_s_giant']}s", file=sys.stderr)
+
+    nb = qcodes.shape[0] // BATCH
+    qc3 = jnp.asarray(qcodes[: nb * BATCH].reshape(nb, BATCH, READ_LEN)
+                      .astype(np.int32))
+    len2 = jnp.asarray(lens[: nb * BATCH].reshape(nb, BATCH).astype(np.int32))
+
+    @jax.jit
+    def count_all(dx, qc3, len2, salt):
+        def step(_, xs):
+            qc, ln = xs
+            return None, find_ranges(dx, qc, ln)
+        _, (lo, hi) = jax.lax.scan(step, None, (qc3, len2 + salt - salt))
+        return lo, hi, jnp.sum(lo) + jnp.sum(hi)
+
+    n_done = nb * BATCH
+    res = count_all(dx, qc3, len2, 0)
+    _ = int(res[2])
+    slo = np.asarray(res[0]).reshape(-1)
+    shi = np.asarray(res[1]).reshape(-1)
+    assert (slo[:npar] == exp_lo).all() and (shi[:npar] == exp_hi).all()
+    assert ((shi[:npar] - slo[:npar] + 1) == exp_cnt).all(), \
+        "device counts != carry-matrix analytic oracle"
+    print(f"bench[giant]: count parity ok on {npar} reads "
+          f"(analytic carry-matrix oracle)", file=sys.stderr)
+    best = _timeit(lambda s: count_all(dx, qc3, len2, s)[2], 1)
+    rps = n_done / best
+    out["count_reads_per_s_giant"] = round(rps, 1)
+    out["lf_steps_per_s_giant"] = round(rps * READ_LEN, 0)
+    print(f"bench[giant]: count {rps:,.0f} reads/s "
+          f"({rps*READ_LEN/1e6:,.0f} M LF-steps/s)", file=sys.stderr)
+    _emit(out)
+
+    if _ensure_native():
+        from rowbowt_tpu.cpu_backend import count_ranges_fb2g
+
+        big.fb2 = np.ascontiguousarray(np.asarray(big.fb2))
+        ncpu = 512
+        trials = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            clo, chi = count_ranges_fb2g(big, qcodes[:ncpu], lens[:ncpu])
+            trials.append(ncpu / (time.perf_counter() - t0))
+        cpu_rps = float(np.median(trials))
+        assert (slo[:ncpu] == clo).all()
+        out["vs_baseline_giant"] = round(rps / cpu_rps, 3)
+        out["cpu_count_trials_giant"] = [round(t, 0) for t in trials]
+        out["cpu_count_spread_giant"] = round(
+            (max(trials) - min(trials)) / cpu_rps, 3)
+        print(f"bench[giant]: cpu-1t median {cpu_rps:,.0f} reads/s "
+              f"(x{rps/cpu_rps:,.1f})", file=sys.stderr)
+    _emit(out)
+
+    # ---- toehold locate (max_hits=4): every loc must be a true occurrence
+    @jax.jit
+    def loc_all(dx, qc3, len2, salt):
+        def step(_, xs):
+            qc, ln = xs
+            lo, hi, k = find_ranges_w_toehold(dx, qc, ln + salt - salt)
+            locs, cnt = locate(dx, lo, hi, k, max_hits=4)
+            return None, (lo, hi, k, locs, cnt)
+        _, r = jax.lax.scan(step, None, (qc3, len2))
+        return r + (jnp.sum(r[4]) + jnp.sum(r[3]),)
+
+    r = loc_all(dx, qc3, len2, 0)
+    _ = int(r[5])
+    kk = np.asarray(r[2]).reshape(-1)[:npar]
+    klocs = np.asarray(r[3]).reshape(-1, 4)[:npar]
+    for b in range(npar):
+        exp_set = set(pos_flat[pos_off[b]:pos_off[b + 1]].tolist())
+        got = [int(x) for x in klocs[b] if x >= 0]
+        assert int(kk[b]) in exp_set, (b, kk[b])
+        assert len(set(got)) == len(got) and set(got) <= exp_set, (b, got)
+    print(f"bench[giant]: locate parity ok on {npar} reads "
+          f"(occurrence-set membership, analytic)", file=sys.stderr)
+    tl = _timeit(lambda s: loc_all(dx, qc3, len2, s)[5], 1)
+    out["locate_reads_per_s_giant"] = round(n_done / tl, 1)
+    print(f"bench[giant]: locate {n_done/tl:,.0f} reads/s", file=sys.stderr)
+    _emit(out)
+
+    # ---- markers: analytic multiset parity on the final ranges
+    mv, mc = map(np.asarray, jax.jit(
+        lambda d, lo, hi: RK.markers_at_range(d, lo, hi, 8))(
+        dx, jnp.asarray(exp_lo), jnp.asarray(exp_hi)))
+    for b in range(npar):
+        expv = mval_flat[mval_off[b]:mval_off[b + 1]]
+        assert mc[b] == expv.shape[0], (b, mc[b], expv.shape[0])
+        if mc[b] <= 8:
+            got = np.sort(mv[b][mv[b] >= 0])
+            assert np.array_equal(got, np.sort(expv)), b
+    print(f"bench[giant]: marker parity ok on {npar} reads (analytic "
+          f"multiset)", file=sys.stderr)
+
+    @jax.jit
+    def mk_all(dx, qc3, len2, salt):
+        def step(_, xs):
+            qc, ln = xs
+            lo, hi, buf, used, ovf = find_ranges_w_markers(
+                dx, qc, ln + salt - salt, wsize=10, max_range=1000, max_k=16)
+            return None, jnp.sum(used) + jnp.sum(lo)
+        _, s = jax.lax.scan(step, None, (qc3, len2))
+        return jnp.sum(s)
+
+    tm = _timeit(lambda s: mk_all(dx, qc3, len2, s), 1)
+    out["markers_reads_per_s_giant"] = round(n_done / tm, 1)
+    print(f"bench[giant]: markers {n_done/tm:,.0f} reads/s "
+          f"(M={big.ma_row.shape[0]:,})", file=sys.stderr)
+    _emit(out)
+
+    # ---- greedy genotyping (fwd + rc)
+    rc3 = _revcomp_interleave(big.alpha, qcodes, lens,
+                              nb // 2 if nb > 1 else 1)
+    if rc3 is not None:
+        g3, gl3 = rc3
+
+        @jax.jit
+        def greedy_all(dx, g3, gl3, salt):
+            def step(_, xs):
+                qc, ln = xs
+                outs = markers_greedy_seeding(
+                    dx, qc, ln + salt - salt, wsize=10, max_range=1000,
+                    max_seeds=8, max_k=16, use_ftab=False, values=False)
+                return None, outs[0].sum() + outs[5].sum()
+            _, s = jax.lax.scan(step, None, (g3, gl3))
+            return jnp.sum(s)
+
+        n_reads_g = g3.shape[0] * g3.shape[1] // 2
+        tg = _timeit(lambda s: greedy_all(dx, g3, gl3, s), 1)
+        out["markers_greedy_reads_per_s_giant"] = round(n_reads_g / tg, 1)
+        print(f"bench[giant]: greedy markers {n_reads_g/tg:,.0f} reads/s "
+              f"(fwd+rc)", file=sys.stderr)
+    _emit(out)
+
+    # ---- UNBOUNDED locate: full occurrence-SET equality vs the analytic
+    # oracle on the parity reads, then throughput on a mixed-width batch
+    UB = 4096
+    ulens = np.full(UB, READ_LEN, dtype=np.int32)
+    ulens[:16] = 12
+    uq = jnp.asarray(qcodes[:UB].astype(np.int32))
+    ul = jnp.asarray(ulens)
+    ulo2, uhi2, uk2 = map(np.asarray, find_ranges_w_toehold(dx, uq, ul))
+    flat, offs = locate_ragged(dx, ulo2, uhi2, uk2)  # warm + parity
+    for b in range(16, min(npar, 256)):  # full-length lanes only
+        got = np.sort(flat[offs[b]:offs[b + 1]])
+        expp = np.sort(pos_flat[pos_off[b]:pos_off[b + 1]])
+        assert np.array_equal(got, expp), b
+    print("bench[giant]: UNBOUNDED locate = exact analytic occurrence sets",
+          file=sys.stderr)
+    tu = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        flat, offs = locate_ragged(dx, ulo2, uhi2, uk2)
+        tu = min(tu, time.perf_counter() - t0)
+    hits = int(offs[-1])
+    out["locate_unbounded_reads_per_s_giant"] = round(UB / tu, 1)
+    out["locate_unbounded_hits_per_s_giant"] = round(hits / tu, 0)
+    print(f"bench[giant]: UNBOUNDED locate {UB/tu:,.0f} reads/s "
+          f"({hits:,} occs, {hits/tu/1e6:,.2f} M occs/s)", file=sys.stderr)
+    _emit(out)
+
+    # ---- CPU baselines for locate/markers/greedy ----
+    if _ensure_native():
+        tabb = big.alpha.encode_table()
+        comp = np.full(16, -1, dtype=np.int64)
+        for x, y in zip(b"ACGT", b"TGCA"):
+            cx, cy = int(tabb[x]), int(tabb[y])
+            if cx >= 0 and cy >= 0:
+                comp[cx] = cy
+        fwd = qcodes[:512].astype(np.int64)
+        rcq = np.where(fwd[:, ::-1] >= 0, comp[np.maximum(fwd[:, ::-1], 0)],
+                       -1)
+        _cpu_workloads(big, out, "giant", qcodes, rcq, lens, 512)
+    _emit(out)
+    return out
+
+
 def _revcomp_interleave(alpha, qcodes, lens, nb):
     """[N, L] codes -> [nb, B, L] with each read's fwd and rc interleaved as
     adjacent lanes (the rb_markers two-strand workload); None if too few."""
@@ -698,7 +921,8 @@ def _emit(out: dict) -> None:
 
 
 def worker(name: str) -> int:
-    res = run_big() if name == "big" else run_config(name)
+    res = (run_big() if name == "big" else
+           run_giant() if name == "giant" else run_config(name))
     _emit(res)
     sys.stderr.flush()
     # the TPU tunnel's runtime teardown can hang at interpreter exit
@@ -789,28 +1013,34 @@ def main():
     acc = {}
     # reserve wall-clock for the LATER configs: a wedged tunnel claim in an
     # early worker (it happens; each attempt burns its full timeout) must not
-    # starve the big config's slot.  Warm-cache worker walls: small ~120s,
-    # chr ~300s, big ~300s.
+    # starve the later configs' slots.  Reserves are WARM walls (small ~160s,
+    # chr ~330s, big ~300s, giant ~260s), not timeouts — a healthy tunnel
+    # fits all four in ~1,050s of the 1,380s budget.
     have_big = os.path.exists(os.path.join(BIG_CACHE, "meta.json"))
-    # attempts > walls: the tunnel wedge (hang at claim, zero output) hits a
-    # large fraction of fresh processes on a bad day; each wedge burns its
-    # whole timeout, so shorter timeouts x more attempts maximizes the
-    # chance one attempt lands.  Warm walls: small ~160s, chr ~330s, big ~300s.
-    reserve_after_small = 380 + (440 if have_big else 0)
+    have_giant = os.path.exists(os.path.join(GIANT_CACHE, "meta.json"))
+    res_big = 320 if have_big else 0
+    res_giant = 300 if have_giant else 0
     small = _run_worker("small", timeout=240, attempts=3,
-                        deadline=deadline - reserve_after_small)
+                        deadline=deadline - 340 - res_big - res_giant)
     if small:
         acc.update(small)
     _emit_final(acc)
     chr_ = _run_worker("chr", timeout=380, attempts=3,
-                       deadline=deadline - (440 if have_big else 0))
+                       deadline=deadline - res_big - res_giant)
     if chr_:
         acc.update(chr_)
     _emit_final(acc)
     if have_big:
-        big = _run_worker("big", timeout=440, attempts=3, deadline=deadline)
+        big = _run_worker("big", timeout=440, attempts=3,
+                          deadline=deadline - res_giant)
         if big:
             acc.update(big)
+        _emit_final(acc)
+    if have_giant:
+        giant = _run_worker("giant", timeout=420, attempts=3,
+                            deadline=deadline)
+        if giant:
+            acc.update(giant)
         _emit_final(acc)
     if small is None:
         print("bench: small config failed entirely", file=sys.stderr)
@@ -820,7 +1050,7 @@ def main():
 
 if __name__ == "__main__":
     w = os.environ.get("RBT_BENCH_WORKER")
-    if w in CFG or w == "big":
+    if w in CFG or w in ("big", "giant"):
         worker(w)
     else:
         sys.exit(main())

@@ -112,6 +112,25 @@ void rbt_cpu_count(const i64* run_start, i64 R, const i64* occ_flat,
   }
 }
 
+// Batched count over the two-level tables at ANY row size (the 256-symbol
+// giant layout included) — rbt_cpu_count_fb2 hardcodes 128-symbol rows.
+void rbt_cpu_count_fb2g(const int32_t* fb2, i64 per_blk, i64 block, i64 lanes,
+                        const i64* base, const i64* Fc, i64 A, i64 n,
+                        const int16_t* qcodes, const int32_t* qlens, i64 nq,
+                        i64 stride, i64* out_lo, i64* out_hi) {
+  Fb2 T{fb2, base, Fc, per_blk, n, block, lanes};
+  for (i64 q = 0; q < nq; ++q) {
+    i64 lo = 0, hi = n - 1;
+    const int16_t* row = qcodes + q * stride;
+    i64 m = qlens[q];
+    for (i64 j = 0; j < m && lo <= hi; ++j) {
+      if (!T.lf(lo, hi, row[stride - 1 - j], A)) break;
+    }
+    out_lo[q] = lo;
+    out_hi[q] = hi;
+  }
+}
+
 // Toehold locate over the two-level tables + O(R) run-space aids — the
 // rb_align -s workload (find_range_w_toehold + locs_at, rowbowt.hpp:167-184,
 // 613-621) one read at a time.  max_hits phi-walk per read; locs order is

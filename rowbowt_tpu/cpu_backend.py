@@ -70,6 +70,29 @@ def _i64(big, name):
     return cache[name]
 
 
+def count_ranges_fb2g(big, qcodes: np.ndarray, lengths: np.ndarray):
+    """Single-thread count over any fb2 row size (the 256-symbol giant
+    layout included)."""
+    lib = _load_native()
+    fb2, per_blk, block, lanes, base, F = _fb2_params(big)
+    q = np.ascontiguousarray(qcodes, dtype=np.int16)
+    lens = np.ascontiguousarray(lengths, dtype=np.int32)
+    nq, stride = q.shape
+    lo = np.empty(nq, dtype=np.int64)
+    hi = np.empty(nq, dtype=np.int64)
+    p = ctypes.POINTER(ctypes.c_int64)
+    lib.rbt_cpu_count_fb2g(
+        fb2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(per_blk), ctypes.c_int64(block), ctypes.c_int64(lanes),
+        base.ctypes.data_as(p), F.ctypes.data_as(p),
+        ctypes.c_int64(big.A), ctypes.c_int64(big.n),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(nq), ctypes.c_int64(stride),
+        lo.ctypes.data_as(p), hi.ctypes.data_as(p))
+    return lo, hi
+
+
 def locate_fb2(big, qcodes: np.ndarray, lengths: np.ndarray,
                max_hits: int = 4):
     """Single-thread toehold locate (rb_align -s workload) over the BigIndex

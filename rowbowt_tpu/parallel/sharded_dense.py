@@ -166,7 +166,9 @@ class ShardedDenseIndex:
         the repack is row-wise identical to the replicated path's
         (fblock_to_fb64; 1.51x/1.33x measured on hardware, DESIGN.md)."""
         fb3 = self.fb3
-        if fb64:
+        if fb64 and fb3.shape[-1] == FB_ROW:
+            # 24-lane build rows only; the 40-lane (256-symbol) giant layout
+            # ships as built
             from rowbowt_tpu.construct.build import FB64_ROW, fblock_to_fb64
             fb3 = fblock_to_fb64(
                 np.asarray(fb3).reshape(-1, FB_ROW), self.n,
@@ -207,7 +209,9 @@ def _mk_rank(sdx: ShardedDenseIndex, tb):
     my = jax.lax.axis_index("idx")
     fb_loc = tb["fb3"][0] if tb["fb3"].ndim == 3 else tb["fb3"]
     per_blk = fb_loc.shape[0]  # rows per shard in the PLACED layout
-    shift = 7 if fb_loc.shape[1] == FB_ROW else 6
+    # 24 lanes = 128-symbol build rows, 16 = the 64B repack, 40 = the
+    # 256-symbol giant layout
+    shift = {FB_ROW: 7, 16: 6, 40: 8}[fb_loc.shape[1]]
     n = sdx.n
     F_ = tb["F"]
     base8 = tb["base"][my]  # [8] global count before this shard
@@ -239,7 +243,7 @@ def _mk_sym(sdx: ShardedDenseIndex, tb):
     my = jax.lax.axis_index("idx")
     fb_loc = tb["fb3"][0] if tb["fb3"].ndim == 3 else tb["fb3"]
     per_blk = fb_loc.shape[0]
-    shift = 7 if fb_loc.shape[1] == FB_ROW else 6
+    shift = {FB_ROW: 7, 16: 6, 40: 8}[fb_loc.shape[1]]
 
     def sym(i):
         isafe = jnp.clip(i, 0, sdx.n - 1)

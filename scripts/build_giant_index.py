@@ -157,14 +157,14 @@ def main():
     assert exp_cnt.min() >= 1
 
     # ---- CPU engine vs the analytic oracle (validates the whole build) ----
-    from rowbowt_tpu.cpu_backend import count_ranges_fb2
+    from rowbowt_tpu.cpu_backend import count_ranges_fb2g
 
     tab = alpha.encode_table()
     qcodes = tab[reads.astype(np.int64)].astype(np.int16)
     qlens = np.full(N_READS, READ_LEN, dtype=np.int32)
     t0 = time.perf_counter()
-    exp_lo, exp_hi = count_ranges_fb2(big, qcodes[:N_PARITY],
-                                      qlens[:N_PARITY])
+    exp_lo, exp_hi = count_ranges_fb2g(big, qcodes[:N_PARITY],
+                                       qlens[:N_PARITY])
     t_cpu = time.perf_counter() - t0
     got = exp_hi - exp_lo + 1
     assert (got == exp_cnt).all(), \

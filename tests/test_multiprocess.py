@@ -160,3 +160,160 @@ def test_two_process_sharded_stream_big_artifact(rand_index, tmp_path):
             lo, hi = naive.find_range(idx, qcodes)
             cnt = hi - lo + 1 if hi >= lo else 0
             assert line.endswith(f"({lo},{hi}), count={cnt}"), (line, lo, hi)
+
+
+def test_four_process_sharded_stream_nontrivial_batch(rand_index, tmp_path):
+    """FOUR jax.distributed processes (2 CPU devices each -> a 4x2 dp-by-idx
+    mesh) streaming a NON-trivIAL batch: 2,048 reads of L=100 split across
+    the four hosts, batch size 512.  Every host's counts must equal naive."""
+    from rowbowt_tpu.engine import naive
+
+    idx, text = rand_index
+    pre = str(tmp_path / "idx")
+    idx.save(pre)
+
+    rng = np.random.default_rng(71)
+    L, NPROC, PER = 100, 4, 512
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    while len(reads) < NPROC * PER:
+        p = int(rng.integers(0, len(text) - L))
+        r = np.array(text[p:p + L])
+        if rng.random() < 0.3:  # mutations: some empty ranges
+            r[int(rng.integers(0, L))] = acgt[int(rng.integers(0, 4))]
+        if np.isin(r, acgt).all():
+            reads.append(bytes(r))
+    shards = [reads[s * PER:(s + 1) * PER] for s in range(NPROC)]
+    paths = []
+    for s, shard in enumerate(shards):
+        fq = tmp_path / f"shard{s}.fq"
+        with open(fq, "w") as f:
+            for i, r in enumerate(shard):
+                f.write(f"@s{s}r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+        paths.append(str(fq))
+
+    port = _free_port()
+    procs = []
+    for pid in range(NPROC):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            PYTHONPATH=REPO,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "scripts", "sharded_stream.py"),
+             pre, paths[pid], "--n-idx", "2", "-b", "512",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", str(NPROC), "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out[-2000:], err[-2000:])
+        outs.append(out)
+
+    # spot-check 24 random reads per host against naive (full 2,048 naive
+    # searches would dominate the test wall)
+    for pid in range(NPROC):
+        lines = [l for l in outs[pid].splitlines()
+                 if l.startswith(f"s{pid}r")]
+        assert len(lines) == PER, (pid, len(lines))
+        for i in rng.choice(PER, size=24, replace=False):
+            line = lines[i]
+            assert line.startswith(f"s{pid}r{i} ")
+            codes = idx.alpha.encode(
+                np.frombuffer(shards[pid][i], np.uint8)).astype(np.int64)
+            lo, hi = naive.find_range(idx, codes)
+            cnt = hi - lo + 1 if hi >= lo else 0
+            assert line.endswith(f"({lo},{hi}), count={cnt}"), (line, lo, hi)
+
+
+def test_two_process_greedy_stream(rand_index, tmp_path):
+    """The PRODUCTION greedy-genotyping path through the config-5 deployment
+    script across a real process boundary: seeds + marker values per strand
+    must equal the naive reference spec."""
+    from rowbowt_tpu.engine import naive
+    from rowbowt_tpu.index import marker_allele, marker_pos
+
+    idx, text = rand_index
+    pre = str(tmp_path / "idx")
+    idx.save(pre)
+    w = idx.ma_wsize
+
+    rng = np.random.default_rng(53)
+    L = 48
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    while len(reads) < 8:
+        p = int(rng.integers(0, len(text) - L))
+        r = np.array(text[p:p + L])
+        if rng.random() < 0.5:
+            r[int(rng.integers(0, L))] = acgt[int(rng.integers(0, 4))]
+        if np.isin(r, acgt).all():
+            reads.append(bytes(r))
+    shards = [reads[:4], reads[4:]]
+    paths = []
+    for s, shard in enumerate(shards):
+        fq = tmp_path / f"shard{s}.fq"
+        with open(fq, "w") as f:
+            for i, r in enumerate(shard):
+                f.write(f"@s{s}r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+        paths.append(str(fq))
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=REPO,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "scripts", "sharded_stream.py"),
+             pre, paths[pid], "--n-idx", "2", "-b", "4", "--greedy",
+             "--wsize", str(w), "--max-range", "1000",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out[-2000:], err[-2000:])
+        outs.append(out)
+
+    tab = idx.alpha.encode_table()
+    comp = np.full(16, -1, dtype=np.int64)
+    for x, y in zip(b"ACGT", b"TGCA"):
+        comp[int(tab[x])] = int(tab[y])
+    for pid in range(2):
+        lines = [l for l in outs[pid].splitlines() if l.startswith(f"s{pid}r")]
+        assert len(lines) == 8, outs[pid]  # 2 strands x 4 reads
+        for i, r in enumerate(shards[pid]):
+            fwd = tab[np.frombuffer(r, np.uint8).astype(np.int64)]
+            for strand, codes in (("+", fwd), ("-", comp[fwd[::-1]])):
+                seeds, vals = [], []
+                naive.get_markers_greedy_seeding(
+                    idx, codes.astype(np.int64), w, 1000,
+                    lambda rn, span, mb: (seeds.append(span),
+                                          vals.extend(int(v) for v in mb)),
+                    use_ftab=False)
+                exp = (f"s{pid}r{i} {strand} seeds={len(seeds)} markers: "
+                       + "".join(f"{int(marker_pos(np.int64(v)))}/"
+                                 f"{int(marker_allele(np.int64(v)))} "
+                                 for v in vals))
+                line = lines[2 * i + (0 if strand == '+' else 1)]
+                assert line.rstrip() == exp.rstrip(), (line, exp)
