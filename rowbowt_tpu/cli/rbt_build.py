@@ -44,6 +44,10 @@ def main(argv=None):
                         "count/markers work but locate does not; smaller index")
     p.add_argument("--no-dense", action="store_true",
                    help="skip dense occ tables (smallest index, slower queries)")
+    p.add_argument("--emit-ref", metavar="PREFIX",
+                   help="also emit the index in the reference's serialized "
+                        "formats (PREFIX.rbwt/.tsa/.mab/.docs, "
+                        "rowbowt_io.hpp:49-125)")
     args = p.parse_args(argv)
 
     from rowbowt_tpu.index import RbtIndex
@@ -123,6 +127,11 @@ def main(argv=None):
         out = args.out or args.prefix + ".rbtidx"
 
     idx.save(out)
+    if args.emit_ref:
+        from rowbowt_tpu.construct.sdslwrite import save_reference_format
+
+        paths = save_reference_format(idx, args.emit_ref)
+        eprint(f"emitted reference-format {', '.join(paths)}")
     if idx.ftab is not None:
         # also emit the reference's text serialization ("kmer s e" lines,
         # ftab.hpp:30-34) so the reference's rb_align can consume our ftab
