@@ -1040,11 +1040,12 @@ def main():
     res_big = 320 if have_big else 0
     res_giant = 300 if have_giant else 0
     small = _run_worker("small", timeout=240, attempts=3,
-                        deadline=deadline - 340 - res_big - res_giant)
+                        deadline=deadline - 400 - res_big - res_giant)
     if small:
         acc.update(small)
     _emit_final(acc)
-    chr_ = _run_worker("chr", timeout=380, attempts=3,
+    # chr wall grew to ~400s warm with the round-5 CPU workload baselines
+    chr_ = _run_worker("chr", timeout=460, attempts=3,
                        deadline=deadline - res_big - res_giant)
     if chr_:
         acc.update(chr_)

@@ -110,8 +110,82 @@ def phi_probe():
               f"({best:.3f}s)", file=sys.stderr)
 
 
+
+
+
+def concat_probe():
+    """One [2B]-lane rank per LF step (concatenated lo/hi+1) vs two [B]-lane
+    ranks — fewer op dispatches on the same gather volume."""
+    import time
+
+    from rowbowt_tpu.ops import rank as RK
+
+    big = BigIndex.load(BIG)
+    qcodes = np.load(os.path.join(BIG, "qcodes.npy"))
+    dx = big.device_index(with_locate=False, with_markers=False)
+    jax.block_until_ready(dx.arrays["fb2_64"])
+    print(f"device {jax.devices()[0]}", file=sys.stderr)
+    N, L = qcodes.shape
+
+    def lf_concat(dx, lo, hi, c):
+        i2 = jnp.concatenate([lo, hi + 1])
+        c2 = jnp.concatenate([c, c])
+        v = RK.rank_fblock2(dx, i2, c2, "fb2_64", 6)
+        B = lo.shape[0]
+        before = v[:B]
+        inside = v[B:] - before
+        nlo = RK._f_onehot(dx, c).astype(lo.dtype) + before
+        nhi = nlo + inside - 1
+        empty = (inside <= 0) | (c < 0)
+        one = jnp.ones((), dtype=nlo.dtype)
+        zero = jnp.zeros((), dtype=nlo.dtype)
+        return jnp.where(empty, one, nlo), jnp.where(empty, zero, nhi)
+
+    for tag, step in (("2-call", RK.lf_step_fblock2), ("concat", lf_concat)):
+        for nb, b in ((4, 65536), (8, 65536)):
+            need = nb * b
+            reps = -(-need // N)
+            qq = jnp.asarray(np.tile(qcodes.astype(np.int32), (reps, 1))
+                             [:need].reshape(nb, b, L))
+
+            @jax.jit
+            def count_all(dx, qc3, salt):
+                def outer(_, qc):
+                    B = qc.shape[0]
+                    dt = jnp.int64
+                    lo = jnp.zeros(B, dtype=dt)
+                    hi = jnp.full(B, dx.n - 1, dtype=dt)
+                    done = jnp.zeros(B, dtype=bool)
+
+                    def body(j, st):
+                        lo, hi, done = st
+                        c = qc[:, L - 1 - j].astype(dt) + salt - salt
+                        nlo, nhi = step(dx, lo, hi, c)
+                        act = ~done
+                        lo = jnp.where(act, nlo, lo)
+                        hi = jnp.where(act, nhi, hi)
+                        done = done | (act & (nlo > nhi))
+                        return lo, hi, done
+
+                    lo, hi, _ = jax.lax.fori_loop(0, L, body, (lo, hi, done))
+                    return None, jnp.sum(lo) + jnp.sum(hi)
+                _, s = jax.lax.scan(outer, None, qc3)
+                return jnp.sum(s)
+
+            _ = int(count_all(dx, qq, 0))
+            best = float("inf")
+            for s in range(3):
+                t0 = time.perf_counter()
+                _ = int(count_all(dx, qq, s + 1))
+                best = min(best, time.perf_counter() - t0)
+            print(f"{tag} {nb}x{b}: {need/best:,.0f} lanes/s", file=sys.stderr)
+
+
 if __name__ == "__main__":
-    if os.environ.get("RBT_PROBE") == "phi":
+    probe = os.environ.get("RBT_PROBE")
+    if probe == "phi":
         phi_probe()
+    elif probe == "concat":
+        concat_probe()
     else:
         main()
