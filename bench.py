@@ -172,29 +172,45 @@ def _cpu_workloads(big, out, name, qcodes, rc_codes, lens, ncpu):
     """Single-thread CPU locate/markers/greedy baselines (VERDICT r4 #5:
     every workload gets a vs_CPU multiple, not just count).  Records
     cpu_*_reads_per_s and the *_vs_baseline ratios against the device
-    numbers already in `out`."""
+    numbers already in `out`.
+
+    Honesty rule: each measured call runs FRESH reads.  Re-timing the same
+    read set lets the CPU keep the touched rank rows L3-resident (~13 MB
+    per 1k reads), inflating its rate ~2x on the out-of-cache configs —
+    the production workload streams new reads."""
     from rowbowt_tpu import cpu_backend
 
-    q = qcodes[:ncpu].astype(np.int16)
+    def slice_of(i):
+        a = (i * ncpu) % max(qcodes.shape[0] - ncpu, 1)
+        return (qcodes[a:a + ncpu].astype(np.int16),
+                lens[a:a + ncpu].astype(np.int32))
+
+    q0, ln0 = slice_of(0)
     qr = rc_codes[:ncpu].astype(np.int16)
-    ln = lens[:ncpu].astype(np.int32)
+    # pre-cast every table OUTSIDE the timed region (the O(R)/O(M) int64
+    # casts stream GBs off the mmap on first use) with tiny calls
+    cpu_backend.locate_fb2(big, q0[:8], ln0[:8], max_hits=4)
+    cpu_backend.markers_fb2(big, q0[:8], ln0[:8], wsize=10, max_range=1000)
+    cpu_backend.greedy_fb2(big, q0[:8], ln0[:8], 10, 1000)
 
-    def best2(fn):
-        t = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            t = min(t, time.perf_counter() - t0)
-        return t
+    def timed(fn, slices):
+        t0 = time.perf_counter()
+        for i in slices:
+            qi, li = slice_of(i)
+            fn(qi, li)
+        return len(slices) * ncpu / (time.perf_counter() - t0)
 
-    tl = best2(lambda: cpu_backend.locate_fb2(big, q, ln, max_hits=4))
-    out[f"cpu_locate_reads_per_s_{name}"] = round(ncpu / tl, 1)
-    tm = best2(lambda: cpu_backend.markers_fb2(big, q, ln, wsize=10,
-                                               max_range=1000))
-    out[f"cpu_markers_reads_per_s_{name}"] = round(ncpu / tm, 1)
-    tg = best2(lambda: (cpu_backend.greedy_fb2(big, q, ln, 10, 1000),
-                        cpu_backend.greedy_fb2(big, qr, ln, 10, 1000)))
-    out[f"cpu_greedy_reads_per_s_{name}"] = round(ncpu / tg, 1)
+    rl = timed(lambda qi, li: cpu_backend.locate_fb2(big, qi, li,
+                                                     max_hits=4), (1, 2))
+    out[f"cpu_locate_reads_per_s_{name}"] = round(rl, 1)
+    rm = timed(lambda qi, li: cpu_backend.markers_fb2(
+        big, qi, li, wsize=10, max_range=1000), (3, 4))
+    out[f"cpu_markers_reads_per_s_{name}"] = round(rm, 1)
+    t0 = time.perf_counter()
+    cpu_backend.greedy_fb2(big, slice_of(5)[0], slice_of(5)[1], 10, 1000)
+    cpu_backend.greedy_fb2(big, qr, ln0, 10, 1000)
+    rg = ncpu / (time.perf_counter() - t0)
+    out[f"cpu_greedy_reads_per_s_{name}"] = round(rg, 1)
     for dev_key, cpu_key, ratio_key in (
             (f"locate_reads_per_s_{name}", f"cpu_locate_reads_per_s_{name}",
              f"locate_vs_baseline_{name}"),
@@ -204,8 +220,8 @@ def _cpu_workloads(big, out, name, qcodes, rc_codes, lens, ncpu):
              f"cpu_greedy_reads_per_s_{name}", f"greedy_vs_baseline_{name}")):
         if out.get(dev_key) and out.get(cpu_key):
             out[ratio_key] = round(out[dev_key] / out[cpu_key], 3)
-    print(f"bench[{name}]: cpu-1t locate {ncpu / tl:,.0f} markers "
-          f"{ncpu / tm:,.0f} greedy {ncpu / tg:,.0f} reads/s", file=sys.stderr)
+    print(f"bench[{name}]: cpu-1t locate {rl:,.0f} markers "
+          f"{rm:,.0f} greedy {rg:,.0f} reads/s", file=sys.stderr)
 
 
 def _timeit(fn, *a, reps=3):
@@ -277,17 +293,17 @@ def run_config(name: str) -> dict:
           f"({rps*READ_LEN/1e6:,.0f} M LF-steps/s)", file=sys.stderr)
     _emit(out)
 
-    # ---- CPU baseline (single thread, native, same work) ----
+    # ---- CPU baseline (single thread, native, same work; FRESH reads per
+    # timed call — re-timing one read set lets the CPU keep its touched
+    # rank rows cache-resident, which the streaming workload never does) ----
     if have_native:
         from rowbowt_tpu.cpu_backend import count_ranges
 
         ncpu = 4096 if name == "small" else 1024
-        cdt = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            clo, chi = count_ranges(idx, qcodes[:ncpu], lengths[:ncpu])
-            cdt = min(cdt, time.perf_counter() - t0)
-        cpu_rps = ncpu / cdt
+        clo, chi = count_ranges(idx, qcodes[:ncpu], lengths[:ncpu])  # warmup
+        t0 = time.perf_counter()
+        count_ranges(idx, qcodes[ncpu:2 * ncpu], lengths[ncpu:2 * ncpu])
+        cpu_rps = ncpu / (time.perf_counter() - t0)
         print(f"bench[{name}]: cpu-1t {cpu_rps:,.0f} reads/s", file=sys.stderr)
         assert (slo[:ncpu] == clo[:ncpu]).all(), "accel != cpu baseline"
         out[f"vs_baseline_{name}"] = round(rps / cpu_rps, 3)
@@ -516,15 +532,19 @@ def run_big() -> dict:
 
         # Pinned protocol (VERDICT r4 weak #3: 29-45k spread was page-cache
         # noise): materialize the mmapped tables into RAM once OUTSIDE the
-        # timed region (count_ranges_fb2's ascontiguousarray is then a no-op),
-        # then median of >= 5 trials with the spread recorded.
+        # timed region (count_ranges_fb2's ascontiguousarray is then a
+        # no-op), then median of 5 trials — each on a FRESH slice of the
+        # unique recorded reads.  Re-timing one slice lets the CPU keep its
+        # ~13 MB of touched rank rows L3-resident (an ascending 33->62k
+        # "ramp" that is cache warming, not the streaming workload).
         big.fb2 = np.ascontiguousarray(np.asarray(big.fb2))
         ncpu = 1024
-        clo, chi = count_ranges_fb2(big, qcodes[:ncpu], lens[:ncpu])  # warmup
+        clo, chi = count_ranges_fb2(big, qcodes[:ncpu], lens[:ncpu])
         trials = []
-        for _ in range(5):
+        for i in range(1, 6):
+            a = i * ncpu
             t0 = time.perf_counter()
-            count_ranges_fb2(big, qcodes[:ncpu], lens[:ncpu])
+            count_ranges_fb2(big, qcodes[a:a + ncpu], lens[a:a + ncpu])
             trials.append(ncpu / (time.perf_counter() - t0))
         cpu_rps = float(np.median(trials))
         spread = (max(trials) - min(trials)) / cpu_rps
@@ -761,15 +781,16 @@ def run_giant() -> dict:
         from rowbowt_tpu.cpu_backend import count_ranges_fb2g
 
         big.fb2 = np.ascontiguousarray(np.asarray(big.fb2))
-        # 2 unmeasured warmups (lazy zero-page faults on the 5.8 GB copy made
-        # the first giant trials 40x slow) + >= 100ms per measured trial
+        # warmup (lazy zero-page faults on the 5.8 GB copy) + 5 trials on
+        # FRESH read slices (see run_big: same-slice re-timing measures L3
+        # residency, not the streaming workload)
         ncpu = 2048
         clo, chi = count_ranges_fb2g(big, qcodes[:ncpu], lens[:ncpu])
-        count_ranges_fb2g(big, qcodes[:ncpu], lens[:ncpu])
         trials = []
-        for _ in range(5):
+        for i in range(1, 6):
+            a = i * ncpu
             t0 = time.perf_counter()
-            count_ranges_fb2g(big, qcodes[:ncpu], lens[:ncpu])
+            count_ranges_fb2g(big, qcodes[a:a + ncpu], lens[a:a + ncpu])
             trials.append(ncpu / (time.perf_counter() - t0))
         cpu_rps = float(np.median(trials))
         assert (slo[:ncpu] == clo).all()
@@ -862,6 +883,20 @@ def run_giant() -> dict:
               f"(fwd+rc)", file=sys.stderr)
     _emit(out)
 
+    # ---- CPU baselines for locate/markers/greedy ----
+    if _ensure_native():
+        tabb = big.alpha.encode_table()
+        comp = np.full(16, -1, dtype=np.int64)
+        for x, y in zip(b"ACGT", b"TGCA"):
+            cx, cy = int(tabb[x]), int(tabb[y])
+            if cx >= 0 and cy >= 0:
+                comp[cx] = cy
+        fwd = qcodes[:512].astype(np.int64)
+        rcq = np.where(fwd[:, ::-1] >= 0, comp[np.maximum(fwd[:, ::-1], 0)],
+                       -1)
+        _cpu_workloads(big, out, "giant", qcodes, rcq, lens, 512)
+    _emit(out)
+
     # ---- UNBOUNDED locate: full occurrence-SET equality vs the analytic
     # oracle on the parity reads, then throughput on a mixed-width batch
     UB = 4096
@@ -889,18 +924,6 @@ def run_giant() -> dict:
           f"({hits:,} occs, {hits/tu/1e6:,.2f} M occs/s)", file=sys.stderr)
     _emit(out)
 
-    # ---- CPU baselines for locate/markers/greedy ----
-    if _ensure_native():
-        tabb = big.alpha.encode_table()
-        comp = np.full(16, -1, dtype=np.int64)
-        for x, y in zip(b"ACGT", b"TGCA"):
-            cx, cy = int(tabb[x]), int(tabb[y])
-            if cx >= 0 and cy >= 0:
-                comp[cx] = cy
-        fwd = qcodes[:512].astype(np.int64)
-        rcq = np.where(fwd[:, ::-1] >= 0, comp[np.maximum(fwd[:, ::-1], 0)],
-                       -1)
-        _cpu_workloads(big, out, "giant", qcodes, rcq, lens, 512)
     _emit(out)
     return out
 
@@ -1038,7 +1061,7 @@ def main():
     have_big = os.path.exists(os.path.join(BIG_CACHE, "meta.json"))
     have_giant = os.path.exists(os.path.join(GIANT_CACHE, "meta.json"))
     res_big = 320 if have_big else 0
-    res_giant = 300 if have_giant else 0
+    res_giant = 330 if have_giant else 0
     small = _run_worker("small", timeout=240, attempts=3,
                         deadline=deadline - 400 - res_big - res_giant)
     if small:
@@ -1051,13 +1074,13 @@ def main():
         acc.update(chr_)
     _emit_final(acc)
     if have_big:
-        big = _run_worker("big", timeout=440, attempts=3,
+        big = _run_worker("big", timeout=400, attempts=3,
                           deadline=deadline - res_giant)
         if big:
             acc.update(big)
         _emit_final(acc)
     if have_giant:
-        giant = _run_worker("giant", timeout=420, attempts=3,
+        giant = _run_worker("giant", timeout=450, attempts=3,
                             deadline=deadline)
         if giant:
             acc.update(giant)
