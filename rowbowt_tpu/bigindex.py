@@ -249,6 +249,76 @@ def marker_buckets(ma_row: np.ndarray, n: int, target_seg: int = 32):
     return off.astype(dt), (shift, iters)
 
 
+_MRP_SHIFT = 16  # run-pack bucket span: in-bucket start deltas fit u16
+
+
+def marker_run_pack(ma_row: np.ndarray, n: int):
+    """Run-table marker rank: ma_start1[i] in THREE dependent gather levels.
+
+    Marker rows are runs of consecutive BWT rows (the suffixes starting
+    inside one variant window agree across near-identical haplotypes, so
+    they occupy contiguous row ranges).  Measured on the 10^10/513-doc
+    panel: M = 100M CSR entries collapse to 383k runs of uniform per-row
+    multiplicity (mean length 260, mult <= 3) — so rank over the CSR needs
+    only the run containing (or preceding) i:
+
+      rank(i) = cum[j] + mult[j] * clip(i - start[j], 0, len[j]),
+      j = last run with start <= i
+
+    Tables (~8 MB at M=100M, vs 800 MB ma_row + the 1+iters-deep bucketed
+    search, ops.rank.bucketed_lower_bound, or the O(n)-bytes nibble rows):
+
+      off   u32[(n>>16)+2]    bucket directory over row space (64k span)
+      sd16  i32[ceil(K/32),16] run-start low 16 bits, 32 u16 per 64B row
+      rec   i64[K, 2]         [start | cum + (len<<32) + (mult<<56)]
+
+    j resolves as off[b] + (count of in-bucket starts <= i) - 1: one off
+    gather, a STATIC `nrows` parallel 64B sd16 row gathers + VPU SWAR
+    compare-count, one 16B rec gather (ops.rank._ms_runs).  Returns
+    (off, sd16, rec, nrows) or None when the structure doesn't fit
+    (mult > 127, len >= 2^24, M >= 2^32, or > 4 rows per bucket segment).
+    """
+    M = int(ma_row.shape[0])
+    if M == 0 or M >= (1 << 32) or (n >> _MRP_SHIFT) >= (1 << 31):
+        return None
+    mr = np.asarray(ma_row).astype(np.int64)
+    first = np.r_[True, mr[1:] != mr[:-1]]  # ma_row is sorted
+    pos = np.flatnonzero(first)
+    ur = mr[pos]
+    cnt = np.diff(np.r_[pos, M])
+    if cnt.max(initial=0) > 127:
+        return None
+    same = (np.diff(ur) == 1) & (cnt[1:] == cnt[:-1])
+    sidx = np.r_[0, np.flatnonzero(~same) + 1]
+    starts = ur[sidx]
+    K = int(starts.shape[0])
+    if K >= (1 << 31):  # int32 rec gather indices
+        return None
+    lens = np.diff(np.r_[sidx, ur.shape[0]]).astype(np.int64)  # rows per run
+    if lens.max(initial=0) >= (1 << 24):
+        return None
+    mult = cnt[sidx].astype(np.int64)
+    centry = lens * mult
+    cum = np.concatenate(([0], np.cumsum(centry)))[:-1]
+    assert cum[-1] + centry[-1] == M
+    rec = np.empty((K, 2), np.int64)
+    rec[:, 0] = starts
+    rec[:, 1] = cum | (lens << 32) | (mult << 56)
+    nbuck = (n >> _MRP_SHIFT) + 1
+    off = np.searchsorted(
+        starts, np.arange(nbuck + 1, dtype=np.int64) << _MRP_SHIFT,
+        side="left")
+    maxseg = int(np.diff(off).max(initial=0))
+    nrows = max(1, (maxseg - 1) // 32 + 2)  # segment may straddle row bounds
+    if nrows > 4:
+        return None
+    Kp = -(-K // 32) * 32
+    sd16 = np.full(Kp, 0xFFFF, np.uint16)
+    sd16[:K] = (starts & ((1 << _MRP_SHIFT) - 1)).astype(np.uint16)
+    sd16 = sd16.reshape(-1, 32).view(np.uint32).view(np.int32)  # [Kp/32, 16]
+    return off.astype(np.uint32), sd16, rec, nrows
+
+
 @dataclasses.dataclass
 class BigIndex:
     fb2: np.ndarray  # int32[nb_pad, 24]
@@ -314,6 +384,26 @@ class BigIndex:
         if nib is not None and cache:
             np.save(cache, nib)
         return nib
+
+    def _ma_runpack(self):
+        """The run-pack marker-rank tables (marker_run_pack), disk-cached
+        next to the artifact; None when the run structure doesn't fit."""
+        cache = (os.path.join(self.prefix, "ma_runpack.npz")
+                 if self.prefix else None)
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            if z["nrows"].item() == 0:
+                return None
+            return z["off"], z["sd16"], z["rec"], int(z["nrows"].item())
+        rp = marker_run_pack(self.ma_row, self.n)
+        if cache:
+            if rp is None:
+                np.savez(cache, nrows=np.int64(0))
+            else:
+                off, sd16, rec, nrows = rp
+                np.savez(cache, off=off, sd16=sd16, rec=rec,
+                         nrows=np.int64(nrows))
+        return rp
 
     def _phi_pack(self):
         """The bitmap-rank phi tables (phi_pack_tables), disk-cached next to
@@ -485,14 +575,24 @@ class BigIndex:
                                                self.n)
                 arrs["pp_off"] = jnp.asarray(pp_off)
         ma_bs = ()
+        ma_rp = 0
         if with_markers:
             assert self.has_markers, "artifact stores no marker tables"
-            arrs["ma_row"] = jnp.asarray(self.ma_row)
             arrs["ma_val"] = jnp.asarray(self.ma_val)
-            nib = self._ma_cnt64()
-            if nib is not None:
+            rp = self._ma_runpack()
+            nib = None if rp is not None else self._ma_cnt64()
+            if rp is not None:
+                # run-pack rank (marker_run_pack): ~8 MB of tables REPLACE
+                # the device ma_row entirely — 3 dependent gather levels
+                roff, sd16, rec, ma_rp = rp
+                arrs["ma_roff"] = jnp.asarray(roff)
+                arrs["ma_sd16"] = jnp.asarray(sd16)
+                arrs["ma_rec"] = jnp.asarray(rec)
+            elif nib is not None:
+                arrs["ma_row"] = jnp.asarray(self.ma_row)
                 arrs["ma_cnt64"] = jnp.asarray(nib)
-            else:  # > 15 entries on some row: the bucketed bound serves
+            else:  # degenerate run structure: the bucketed bound serves
+                arrs["ma_row"] = jnp.asarray(self.ma_row)
                 off, ma_bs = marker_buckets(self.ma_row, self.n)
                 arrs["ma_off"] = jnp.asarray(off)
         if self.doc_starts is not None:
@@ -503,7 +603,7 @@ class BigIndex:
         return DeviceIndex(arrays=arrs, n=self.n, R=R, A=self.A,
                            ma_wsize=self.ma_wsize,
                            ftab_k=0, acgt_codes=tuple(int(c) for c in acgt),
-                           ma_bs=ma_bs, pp_bs=pp_bs)
+                           ma_bs=ma_bs, pp_bs=pp_bs, ma_rp=ma_rp)
 
     def sharded_index(self):
         """The position-sharded view (n_idx == n_sup shards) for mesh runs.

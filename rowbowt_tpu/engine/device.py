@@ -33,19 +33,22 @@ class DeviceIndex:
     # CSR, pp_bs for the phi breakpoint table; () when dense/plain serve
     ma_bs: tuple = ()
     pp_bs: tuple = ()
+    # static row-unroll count of the marker run-pack rank
+    # (bigindex.marker_run_pack / ops.rank._ms_runs); 0 = no run-pack tables
+    ma_rp: int = 0
 
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))
         leaves = tuple(self.arrays[k] for k in keys)
         aux = (keys, self.n, self.R, self.A, self.ma_wsize, self.ftab_k,
-               self.acgt_codes, self.ma_bs, self.pp_bs)
+               self.acgt_codes, self.ma_bs, self.pp_bs, self.ma_rp)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        keys, n, R, A, ma_wsize, ftab_k, acgt, ma_bs, pp_bs = aux
+        keys, n, R, A, ma_wsize, ftab_k, acgt, ma_bs, pp_bs, ma_rp = aux
         return cls(dict(zip(keys, leaves)), n, R, A, ma_wsize, ftab_k, acgt,
-                   ma_bs, pp_bs)
+                   ma_bs, pp_bs, ma_rp)
 
     @property
     def idx_dtype(self):
@@ -59,7 +62,9 @@ class DeviceIndex:
 
     @property
     def has_ma(self) -> bool:
-        return "ma_row" in self.arrays
+        # ma_val is always attached with markers; ma_row may be replaced by
+        # the run-pack rank tables (bigindex.marker_run_pack)
+        return "ma_val" in self.arrays
 
     @property
     def has_ftab(self) -> bool:

@@ -443,6 +443,11 @@ def markers_bounds(dx: DeviceIndex, lo, hi):
         ms = arr["ma_start1"]
         s = ms[jnp.clip(lo, 0, dx.n)]
         e = ms[jnp.clip(hi + 1, 0, dx.n)]
+    elif "ma_rec" in arr:
+        # run-pack rank (bigindex.marker_run_pack): 3 dependent gather
+        # levels, ~8 MB of tables, no device ma_row
+        s = _ms_runs(dx, jnp.clip(lo, 0, dx.n))
+        e = _ms_runs(dx, jnp.clip(hi + 1, 0, dx.n))
     elif "ma_cnt64" in arr:
         # ONE fused-row gather per probe (bigindex.marker_nibble_rank):
         # checkpoint + SWAR nibble-sum, the chr dense path's cost profile
@@ -494,6 +499,48 @@ def _ms_bucketed(dx: DeviceIndex, i):
     return bucketed_lower_bound(arr["ma_row"], arr["ma_off"], shift, iters, i)
 
 
+def _ms_runs(dx: DeviceIndex, i):
+    """ma_start1[i] via the run-pack tables (bigindex.marker_run_pack).
+
+    j = last marker run with start <= i resolves as off[b] + (count of
+    in-bucket run starts <= i) - 1; the count reads a STATIC dx.ma_rp
+    sd16 rows (64B each, 32 u16 start-deltas SWAR-packed in 16 i32 lanes,
+    gathers independent of each other), then ONE 16B rec gather yields
+    rank(i) = cum[j] + mult[j] * clip(i - start[j], 0, len[j]).  Runs in
+    earlier buckets are handled by count == 0 -> j = off[b] - 1 (starts are
+    globally sorted); j < 0 means no run precedes i -> rank 0."""
+    arr = dx.arrays
+    off, sd, rec = arr["ma_roff"], arr["ma_sd16"], arr["ma_rec"]
+    nrows = dx.ma_rp
+    isafe = jnp.clip(i, 0, dx.n).astype(jnp.int64)
+    b = jnp.minimum(isafe >> 16, off.shape[0] - 2).astype(jnp.int32)
+    s = off[b].astype(jnp.int64)
+    e = off[b + 1].astype(jnp.int64)
+    qlo = (isafe & 0xFFFF).astype(jnp.int32)
+    r0 = (s >> 5).astype(jnp.int32)
+    nr = sd.shape[0]
+    lane2 = 2 * jnp.arange(16, dtype=jnp.int64)[None, :]
+    cnt = jnp.zeros(isafe.shape, jnp.int64)
+    for j in range(nrows):
+        w = sd[jnp.minimum(r0 + j, nr - 1)]  # [B, 16] i32 = 32 u16 deltas
+        lo16 = w & 0xFFFF
+        hi16 = (w >> 16) & 0xFFFF
+        pos = (((r0 + j).astype(jnp.int64)) << 5)[:, None] + lane2
+        in_lo = (pos >= s[:, None]) & (pos < e[:, None])
+        in_hi = (pos + 1 >= s[:, None]) & (pos + 1 < e[:, None])
+        ql = qlo[:, None]
+        cnt = cnt + (jnp.sum(in_lo & (lo16 <= ql), axis=1)
+                     + jnp.sum(in_hi & (hi16 <= ql), axis=1))
+    jj = s + cnt - 1
+    r = rec[jnp.clip(jj, 0, rec.shape[0] - 1).astype(jnp.int32)]  # [B, 2]
+    start, packed = r[:, 0], r[:, 1]
+    cum = packed & 0xFFFFFFFF
+    ln = (packed >> 32) & 0xFFFFFF
+    mu = (packed >> 56) & 0x7F
+    rank = cum + mu * jnp.clip(isafe - start, 0, ln)
+    return jnp.where(jj < 0, 0, rank).astype(i.dtype)
+
+
 def _ms_nibble(dx: DeviceIndex, i):
     """ma_start1[i] via the nibble-count fused rows: one 64B/16-lane row
     gather ([ckpt | 8 words of per-row 4-bit entry counts | 7 pad] per 64 BWT
@@ -526,7 +573,7 @@ def markers_at_range(dx: DeviceIndex, lo, hi, max_k: int):
     arr = dx.arrays
     s, cnt = markers_bounds(dx, lo, hi)
     offs = jnp.arange(max_k, dtype=s.dtype)[None, :]
-    pos = jnp.minimum(s[:, None] + offs, arr["ma_row"].shape[0] - 1)
+    pos = jnp.minimum(s[:, None] + offs, arr["ma_val"].shape[0] - 1)
     vals = arr["ma_val"][pos]
     valid = offs < cnt[:, None]
     vals = jnp.where(valid, vals, -1)

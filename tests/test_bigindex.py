@@ -477,3 +477,54 @@ def test_phi_bitmap_rank_matches_breakpoint_table():
     got = np.asarray(jax.jit(RK.phi_step)(
         dxb, jnp.arange(big.n, dtype=jnp.int64)))
     np.testing.assert_array_equal(got, exp)
+
+
+def test_marker_run_pack_rank_matches_searchsorted():
+    """The run-pack marker rank (marker_run_pack + _ms_runs: 3 dependent
+    gather levels, ~8 MB of tables) must equal lower_bound(ma_row, q) at
+    random, boundary, and in-run query points."""
+    import jax.numpy as jnp
+
+    from rowbowt_tpu.bigindex import marker_run_pack
+    from rowbowt_tpu.engine.device import DeviceIndex
+    from rowbowt_tpu.ops.rank import _ms_runs
+
+    rng = np.random.default_rng(3)
+    n = 5_000_000
+    rows = []
+    for _ in range(200):  # clustered runs, mults 1-3, like a real panel
+        base = rng.integers(0, n - 5000)
+        for r in range(rng.integers(1, 6)):
+            start = base + r * rng.integers(10, 400)
+            rows.append(np.repeat(
+                np.arange(start, start + rng.integers(1, 120)),
+                rng.integers(1, 4)))
+    rows.append(rng.integers(0, n, size=500))  # isolated singletons
+    ma_row = np.sort(np.concatenate(rows)).astype(np.int64)
+    M = ma_row.shape[0]
+    off, sd16, rec, nrows = marker_run_pack(ma_row, n)
+    dx = DeviceIndex(
+        arrays={"ma_roff": jnp.asarray(off), "ma_sd16": jnp.asarray(sd16),
+                "ma_rec": jnp.asarray(rec), "F": jnp.zeros(7, jnp.int64)},
+        n=n, R=0, A=6, ma_wsize=10, ftab_k=0, acgt_codes=(2, 3, 4, 5),
+        ma_rp=nrows)
+    q = np.concatenate([rng.integers(0, n + 1, size=4000),
+                        ma_row[rng.integers(0, M, size=2000)],
+                        ma_row[rng.integers(0, M, size=2000)] + 1,
+                        [0, n, int(ma_row[0]), int(ma_row[-1]) + 1]
+                        ]).astype(np.int64)
+    got = np.asarray(_ms_runs(dx, jnp.asarray(q)))
+    np.testing.assert_array_equal(got, np.searchsorted(ma_row, q, "left"))
+
+
+def test_marker_run_pack_falls_back_on_degenerate_structure():
+    """mult > 127 or a > 4-row bucket segment must return None (the bucketed
+    lower bound then serves, ops.rank markers_bounds "ma_off" branch)."""
+    from rowbowt_tpu.bigindex import marker_run_pack
+
+    # one row with 200 markers -> mult cap
+    assert marker_run_pack(
+        np.full(200, 17, dtype=np.int64), 1000) is None
+    # >= 98 isolated runs inside one 64k bucket -> nrows cap
+    dense = np.arange(0, 4000, 2, dtype=np.int64) + (5 << 16)
+    assert marker_run_pack(dense, 10_000_000) is None
