@@ -630,7 +630,10 @@ def run_big() -> dict:
     # fwd+rc like the CLI: 2 lanes per read
     from rowbowt_tpu.engine.seeds import markers_greedy_seeding
 
-    rc3 = _revcomp_interleave(big.alpha, qcodes, lens, nb // 2 if nb > 1 else 1)
+    # fwd+rc doubles the lanes: nb*2 batches of BATCH lanes keep the
+    # scan pipelining the independent per-batch LF chains (a single
+    # wide batch forfeits the measured 1.47x interleave win, DESIGN.md)
+    rc3 = _revcomp_interleave(big.alpha, qcodes, lens, nb * 2)
     if rc3 is not None:
         g3, gl3 = rc3
 
@@ -860,8 +863,7 @@ def run_giant() -> dict:
     _emit(out)
 
     # ---- greedy genotyping (fwd + rc)
-    rc3 = _revcomp_interleave(big.alpha, qcodes, lens,
-                              nb // 2 if nb > 1 else 1)
+    rc3 = _revcomp_interleave(big.alpha, qcodes, lens, nb * 2)
     if rc3 is not None:
         g3, gl3 = rc3
 

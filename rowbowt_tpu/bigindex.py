@@ -249,7 +249,7 @@ def marker_buckets(ma_row: np.ndarray, n: int, target_seg: int = 32):
     return off.astype(dt), (shift, iters)
 
 
-_MRP_SHIFT = 16  # run-pack bucket span: in-bucket start deltas fit u16
+_MRP_SHIFT = 16  # run-pack max bucket span: in-bucket start deltas fit u16
 
 
 def marker_run_pack(ma_row: np.ndarray, n: int):
@@ -268,18 +268,23 @@ def marker_run_pack(ma_row: np.ndarray, n: int):
     Tables (~8 MB at M=100M, vs 800 MB ma_row + the 1+iters-deep bucketed
     search, ops.rank.bucketed_lower_bound, or the O(n)-bytes nibble rows):
 
-      off   u32[(n>>16)+2]    bucket directory over row space (64k span)
+      off   u32[(n>>shift)+2]  bucket directory over row space
       sd16  i32[ceil(K/32),16] run-start low 16 bits, 32 u16 per 64B row
-      rec   i64[K, 2]         [start | cum + (len<<32) + (mult<<56)]
+      rec   i64[K, 2]          [start | cum + (len<<32) + (mult<<56)]
 
     j resolves as off[b] + (count of in-bucket starts <= i) - 1: one off
     gather, a STATIC `nrows` parallel 64B sd16 row gathers + VPU SWAR
-    compare-count, one 16B rec gather (ops.rank._ms_runs).  Returns
-    (off, sd16, rec, nrows) or None when the structure doesn't fit
-    (mult > 127, len >= 2^24, M >= 2^32, or > 4 rows per bucket segment).
+    compare-count, one 16B rec gather (ops.rank._ms_runs).  The bucket
+    shift adapts to the run density — the largest shift <= 16 whose worst
+    bucket segment fits 4 sd16 rows (short-run panels like an 8-doc text,
+    mean run ~5 rows, need shift 12; the 513-doc panel's 260-row runs fit
+    shift 16).  Low-16-bit comparison stays exact for any shift <= 16:
+    in-bucket starts share all bits >= shift.  Returns
+    (off, sd16, rec, (shift, nrows)) or None when the structure doesn't
+    fit (mult > 127, len >= 2^24, M >= 2^32, or off table > 2^27 entries).
     """
     M = int(ma_row.shape[0])
-    if M == 0 or M >= (1 << 32) or (n >> _MRP_SHIFT) >= (1 << 31):
+    if M == 0 or M >= (1 << 32):
         return None
     mr = np.asarray(ma_row).astype(np.int64)
     first = np.r_[True, mr[1:] != mr[:-1]]  # ma_row is sorted
@@ -304,19 +309,24 @@ def marker_run_pack(ma_row: np.ndarray, n: int):
     rec = np.empty((K, 2), np.int64)
     rec[:, 0] = starts
     rec[:, 1] = cum | (lens << 32) | (mult << 56)
-    nbuck = (n >> _MRP_SHIFT) + 1
-    off = np.searchsorted(
-        starts, np.arange(nbuck + 1, dtype=np.int64) << _MRP_SHIFT,
-        side="left")
-    maxseg = int(np.diff(off).max(initial=0))
-    nrows = max(1, (maxseg - 1) // 32 + 2)  # segment may straddle row bounds
-    if nrows > 4:
+    for shift in range(_MRP_SHIFT, 5, -2):
+        if (n >> shift) >= (1 << 27):  # off table ceiling (512 MB u32)
+            return None
+        nbuck = (n >> shift) + 1
+        off = np.searchsorted(
+            starts, np.arange(nbuck + 1, dtype=np.int64) << shift,
+            side="left")
+        maxseg = int(np.diff(off).max(initial=0))
+        nrows = max(1, (maxseg - 1) // 32 + 2)  # segments straddle row bounds
+        if nrows <= 4:
+            break
+    else:
         return None
     Kp = -(-K // 32) * 32
     sd16 = np.full(Kp, 0xFFFF, np.uint16)
-    sd16[:K] = (starts & ((1 << _MRP_SHIFT) - 1)).astype(np.uint16)
+    sd16[:K] = (starts & 0xFFFF).astype(np.uint16)
     sd16 = sd16.reshape(-1, 32).view(np.uint32).view(np.int32)  # [Kp/32, 16]
-    return off.astype(np.uint32), sd16, rec, nrows
+    return off.astype(np.uint32), sd16, rec, (shift, nrows)
 
 
 @dataclasses.dataclass
@@ -392,17 +402,19 @@ class BigIndex:
                  if self.prefix else None)
         if cache and os.path.exists(cache):
             z = np.load(cache)
-            if z["nrows"].item() == 0:
-                return None
-            return z["off"], z["sd16"], z["rec"], int(z["nrows"].item())
+            if "shift" in z.files:  # pre-adaptive-shift caches recompute
+                if z["nrows"].item() == 0:
+                    return None
+                return (z["off"], z["sd16"], z["rec"],
+                        (int(z["shift"].item()), int(z["nrows"].item())))
         rp = marker_run_pack(self.ma_row, self.n)
         if cache:
             if rp is None:
-                np.savez(cache, nrows=np.int64(0))
+                np.savez(cache, shift=np.int64(0), nrows=np.int64(0))
             else:
-                off, sd16, rec, nrows = rp
+                off, sd16, rec, (shift, nrows) = rp
                 np.savez(cache, off=off, sd16=sd16, rec=rec,
-                         nrows=np.int64(nrows))
+                         shift=np.int64(shift), nrows=np.int64(nrows))
         return rp
 
     def _phi_pack(self):

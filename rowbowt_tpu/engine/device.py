@@ -33,9 +33,9 @@ class DeviceIndex:
     # CSR, pp_bs for the phi breakpoint table; () when dense/plain serve
     ma_bs: tuple = ()
     pp_bs: tuple = ()
-    # static row-unroll count of the marker run-pack rank
+    # static (bucket shift, row-unroll count) of the marker run-pack rank
     # (bigindex.marker_run_pack / ops.rank._ms_runs); 0 = no run-pack tables
-    ma_rp: int = 0
+    ma_rp: tuple | int = 0
 
     def tree_flatten(self):
         keys = tuple(sorted(self.arrays))

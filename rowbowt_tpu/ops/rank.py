@@ -511,9 +511,9 @@ def _ms_runs(dx: DeviceIndex, i):
     globally sorted); j < 0 means no run precedes i -> rank 0."""
     arr = dx.arrays
     off, sd, rec = arr["ma_roff"], arr["ma_sd16"], arr["ma_rec"]
-    nrows = dx.ma_rp
+    shift, nrows = dx.ma_rp
     isafe = jnp.clip(i, 0, dx.n).astype(jnp.int64)
-    b = jnp.minimum(isafe >> 16, off.shape[0] - 2).astype(jnp.int32)
+    b = jnp.minimum(isafe >> shift, off.shape[0] - 2).astype(jnp.int32)
     s = off[b].astype(jnp.int64)
     e = off[b + 1].astype(jnp.int64)
     qlo = (isafe & 0xFFFF).astype(jnp.int32)

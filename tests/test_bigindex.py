@@ -411,7 +411,12 @@ def test_marker_nibble_rank_matches_dense(monkeypatch):
     from rowbowt_tpu.ops import rank as RK
     import jax.numpy as jnp
 
+    import rowbowt_tpu.bigindex as BI
+
     monkeypatch.setenv("RBT_MA_NIB", "1")
+    # the run-pack rank outranks the nibble rows; disable it so the device
+    # dispatch lands on the nibble path under test
+    monkeypatch.setattr(BI, "marker_run_pack", lambda *a: None)
     idx, text, markers = _marker_fixture()
     big, sa = _big_v2(idx)
     big.attach_markers(sa, [m.text_pos for m in markers],
@@ -502,12 +507,12 @@ def test_marker_run_pack_rank_matches_searchsorted():
     rows.append(rng.integers(0, n, size=500))  # isolated singletons
     ma_row = np.sort(np.concatenate(rows)).astype(np.int64)
     M = ma_row.shape[0]
-    off, sd16, rec, nrows = marker_run_pack(ma_row, n)
+    off, sd16, rec, ma_rp = marker_run_pack(ma_row, n)
     dx = DeviceIndex(
         arrays={"ma_roff": jnp.asarray(off), "ma_sd16": jnp.asarray(sd16),
                 "ma_rec": jnp.asarray(rec), "F": jnp.zeros(7, jnp.int64)},
         n=n, R=0, A=6, ma_wsize=10, ftab_k=0, acgt_codes=(2, 3, 4, 5),
-        ma_rp=nrows)
+        ma_rp=ma_rp)
     q = np.concatenate([rng.integers(0, n + 1, size=4000),
                         ma_row[rng.integers(0, M, size=2000)],
                         ma_row[rng.integers(0, M, size=2000)] + 1,
@@ -518,13 +523,30 @@ def test_marker_run_pack_rank_matches_searchsorted():
 
 
 def test_marker_run_pack_falls_back_on_degenerate_structure():
-    """mult > 127 or a > 4-row bucket segment must return None (the bucketed
-    lower bound then serves, ops.rank markers_bounds "ma_off" branch)."""
+    """mult > 127 must return None (the bucketed lower bound then serves,
+    ops.rank markers_bounds "ma_off" branch); dense short runs instead
+    ADAPT the bucket shift downward and stay exact."""
+    import jax.numpy as jnp
+
     from rowbowt_tpu.bigindex import marker_run_pack
+    from rowbowt_tpu.engine.device import DeviceIndex
+    from rowbowt_tpu.ops.rank import _ms_runs
 
     # one row with 200 markers -> mult cap
     assert marker_run_pack(
         np.full(200, 17, dtype=np.int64), 1000) is None
-    # >= 98 isolated runs inside one 64k bucket -> nrows cap
+    # 2000 isolated single-row runs packed into one 64k span: needs a
+    # sub-16 shift (97+ runs per bucket would overflow the 4-row unroll)
     dense = np.arange(0, 4000, 2, dtype=np.int64) + (5 << 16)
-    assert marker_run_pack(dense, 10_000_000) is None
+    n = 10_000_000
+    off, sd16, rec, (shift, nrows) = marker_run_pack(dense, n)
+    assert shift < 16 and nrows <= 4
+    dx = DeviceIndex(
+        arrays={"ma_roff": jnp.asarray(off), "ma_sd16": jnp.asarray(sd16),
+                "ma_rec": jnp.asarray(rec), "F": jnp.zeros(7, jnp.int64)},
+        n=n, R=0, A=6, ma_wsize=10, ftab_k=0, acgt_codes=(2, 3, 4, 5),
+        ma_rp=(shift, nrows))
+    q = np.concatenate([np.arange(0, 4100) + (5 << 16) - 50,
+                        [0, n]]).astype(np.int64)
+    got = np.asarray(_ms_runs(dx, jnp.asarray(q)))
+    np.testing.assert_array_equal(got, np.searchsorted(dense, q, "left"))

@@ -24,7 +24,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CACHE = os.path.join(REPO, ".cache", "bench_idx_giant")
+CACHE = os.path.join(
+    REPO, ".cache",
+    "bench_idx_big" if "big" in sys.argv[1:] else "bench_idx_giant")
 
 
 def main():
@@ -44,7 +46,7 @@ def main():
 
     B = 65_536
     L = qcodes.shape[1]
-    nb = 4
+    nb = min(4, qcodes.shape[0] // B)
     qc3 = jnp.asarray(qcodes[:nb * B].reshape(nb, B, L))
     len2 = jnp.asarray(lens[:nb * B].reshape(nb, B))
     n_lanes = nb * B
